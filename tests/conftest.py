@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The axon TPU plugin ignores JAX_PLATFORMS; the config API does work.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu"
+
 import pathlib  # noqa: E402
 
 import pytest  # noqa: E402
