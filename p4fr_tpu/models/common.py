@@ -126,6 +126,7 @@ class TransformerDecoderLayer(nn.Module):
         src_kv: SrcKV,
         pos: jnp.ndarray,
         cache: LayerCache,
+        deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, LayerCache]:
         """One AR step. tgt [B,1,H]; pos scalar int; cache slots [B,Lmax,h,dh].
 
@@ -140,14 +141,16 @@ class TransformerDecoderLayer(nn.Module):
         ban = (jnp.arange(max_len) > pos)[None, None, None, :]
 
         q = self.self_attention.project_q(tgt)
-        att = self.self_attention.attend(q, k_all, v_all, ban)
+        att = self.self_attention.attend(q, k_all, v_all, ban, deterministic)
         out = self.self_attention_norm(att + tgt)
 
         q2 = self.cross_attention.project_q(out)
-        att = self.cross_attention.attend(q2, src_kv["k"], src_kv["v"], None)
+        att = self.cross_attention.attend(
+            q2, src_kv["k"], src_kv["v"], None, deterministic
+        )
         out = self.cross_attention_norm(att + out)
 
-        ff = self.feedforward(out, deterministic=True)
+        ff = self.feedforward(out, deterministic=deterministic)
         out = self.feedforward_norm(ff + out)
 
         if self.cache_outputs:
@@ -231,6 +234,7 @@ class TransformerDecoder(nn.Module):
         pos: jnp.ndarray,
         src_kv: Tuple[SrcKV, ...],
         cache: Tuple[LayerCache, ...],
+        deterministic: bool = True,
     ) -> Tuple[jnp.ndarray, Tuple[LayerCache, ...]]:
         """One AR step: token [B] -> logits [B, V] + updated caches.
 
@@ -240,8 +244,10 @@ class TransformerDecoder(nn.Module):
         tgt = self._embed(token[:, None])
         tgt = tgt + self.pos_encoding[pos][None, None, :].astype(self.dtype)
         new_cache = []
-        for layer, layer_cache in zip(self.layers, cache):
-            tgt, layer_cache = layer.step(tgt, src_kv[len(new_cache)], pos, layer_cache)
+        for i, (layer, layer_cache) in enumerate(zip(self.layers, cache)):
+            tgt, layer_cache = layer.step(
+                tgt, src_kv[i], pos, layer_cache, deterministic
+            )
             new_cache.append(layer_cache)
         logits = self.generator(tgt[:, 0])
         return logits, tuple(new_cache)

@@ -273,8 +273,8 @@ class SATRN(nn.Module):
     def precompute_src(self, src):
         return self.decoder.precompute_src(src)
 
-    def decode_step(self, token, pos, src_kv, cache):
-        return self.decoder.step(token, pos, src_kv, cache)
+    def decode_step(self, token, pos, src_kv, cache, deterministic: bool = True):
+        return self.decoder.step(token, pos, src_kv, cache, deterministic)
 
     # ---- module-free helpers -------------------------------------------
     def cache_spec(self) -> Tuple[int, int, int]:
