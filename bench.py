@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: flagship greedy-decode inference throughput (images/sec/chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Measures EfficientSATRN end-to-end greedy decode (encoder + 230-step
+fused-scan AR decode + vectorized DecodingManager) on synthetic batches at
+the reference's inference defaults (batch 32, 256x512 input, max_sequence
+230, grammar masking on), bf16 compute on TPU.
+
+``vs_baseline`` divides by the documented reference-GPU estimate in
+BASELINE_MEASUREMENT.md (the reference publishes no throughput numbers).
+
+Usage: python bench.py [--quick] [--batch 32] [--steps 230] [--iters 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+REFERENCE_GPU_IMG_PER_SEC = 20.0  # see BASELINE_MEASUREMENT.md
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="tiny CPU-friendly sanity run")
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--steps", type=int, default=230)
+    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--no-manager", action="store_true")
+    parser.add_argument("--network", default="EfficientSATRN")
+    args = parser.parse_args(argv)
+
+    import jax
+
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from p4fr_tpu.data.vocab import Vocab
+    from p4fr_tpu.decoding.greedy import make_greedy_fn
+    from p4fr_tpu.decoding.manager import RuleTables
+    from p4fr_tpu.models.registry import get_network
+    from p4fr_tpu.utils.flags import Flags
+
+    vocab = Vocab.from_files(["p4fr_tpu/configs/tokens.txt"])
+    options = Flags(f"p4fr_tpu/configs/{args.network}.yaml").get()
+    if args.quick:
+        options.input_size.height = 64
+        options.input_size.width = 128
+        options.SATRN.encoder.layer_num = 1
+        options.SATRN.decoder.layer_num = 1
+        args.batch = min(args.batch, 4)
+        args.steps = min(args.steps, 16)
+        args.iters = 2
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = get_network(options.network, options, vocab, dtype=dtype)
+
+    h, w = options.input_size.height, options.input_size.width
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.normal(size=(args.batch, h, w, 3)).astype(np.float32)
+    )
+    text = jnp.full((args.batch, 8), vocab.pad_id, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images[:1],
+        text[:1],
+        train=False,
+    )
+
+    tables = None if args.no_manager else RuleTables.build(vocab)
+    fn = jax.jit(
+        make_greedy_fn(
+            model, max_steps=args.steps, tables=tables, return_outputs=False
+        )
+    )
+
+    # compile + warmup. NOTE: through the axon TPU tunnel,
+    # block_until_ready returns early; np.asarray forces a real
+    # device->host sync so timings are honest (and a user consuming
+    # predictions pays this transfer anyway).
+    t0 = time.perf_counter()
+    np.asarray(fn(variables, images))
+    compile_s = time.perf_counter() - t0
+
+    times = []
+    for _ in range(args.iters):
+        t0 = time.perf_counter()
+        np.asarray(fn(variables, images))
+        times.append(time.perf_counter() - t0)
+    best = min(times)
+    img_per_sec = args.batch / best
+
+    result = {
+        "metric": f"{args.network} greedy decode throughput "
+                  f"(batch {args.batch}, {args.steps} steps, "
+                  f"manager={'on' if tables is not None else 'off'}, "
+                  f"{jax.default_backend()})",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / REFERENCE_GPU_IMG_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# compile {compile_s:.1f}s | step times {['%.3f' % t for t in times]}",
+        file=sys.stderr,
+    )
+    return result
+
+
+if __name__ == "__main__":
+    main()

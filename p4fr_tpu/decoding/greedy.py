@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 
 from p4fr_tpu.decoding import manager as dm
-from p4fr_tpu.models.common import empty_cache
 
 
 def make_greedy_fn(
@@ -47,9 +46,7 @@ def make_greedy_fn(
       fn(variables, images_or_src) -> tokens [B, T] (int32)
       or (tokens, outputs) when ``return_outputs``.
     """
-    layer_num, head_num, hidden_dim = model.cache_spec()
     sos_id = model.sos_id
-    dtype = model.dtype
 
     def fn(variables, inputs):
         if from_memory:
@@ -58,9 +55,7 @@ def make_greedy_fn(
             src = model.apply(variables, inputs, method="encode")
         batch = src.shape[0]
         src_kv = model.apply(variables, src, method="precompute_src")
-        cache = empty_cache(
-            layer_num, batch, max_steps, head_num, hidden_dim, dtype
-        )
+        cache = model.init_decode_cache(batch, max_steps)
         token0 = jnp.full((batch,), sos_id, jnp.int32)
 
         if tables is not None:

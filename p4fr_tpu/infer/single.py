@@ -1,0 +1,175 @@
+"""Single-model inference: greedy or beam, checkpoint-driven.
+
+TPU-native rebuild of the reference single inference
+(reference: inference_modules/inference_single.py:31-120):
+
+- the checkpoint is self-describing (config + vocab embedded), so only
+  ``--checkpoint`` and an ``input.txt`` TSV of image names are needed;
+- decode length is fixed to ``max_sequence + 1`` steps like the
+  reference's ``"\\sin " * max_sequence`` dummy-GT trick implies;
+- the whole decode (encode -> scan AR steps -> grammar masking) is one
+  XLA program; batches are padded to a static batch size and the tail
+  masked out on host;
+- output: ``{output_dir}/output.csv`` with ``file_path\\tprediction`` rows.
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p4fr_tpu.data.augment import get_valid_transforms
+from p4fr_tpu.data.dataset import LoadEvalDataset
+from p4fr_tpu.data.loader import DataLoader
+from p4fr_tpu.data.vocab import Vocab, id_to_string
+from p4fr_tpu.decoding.greedy import make_greedy_fn
+from p4fr_tpu.decoding.manager import RuleTables
+from p4fr_tpu.models.registry import get_network
+from p4fr_tpu.utils.checkpoint import load_checkpoint
+from p4fr_tpu.utils.flags import Flags
+
+
+def load_model_from_checkpoint(checkpoint_path: str, dtype=None):
+    """(model, variables, options, vocab) from a self-describing ckpt."""
+    from flax import serialization as ser
+
+    ckpt = load_checkpoint(checkpoint_path)
+    options = Flags(ckpt["configs"]).get()
+    vocab = Vocab.from_maps(ckpt["token_to_id"], ckpt["id_to_token"])
+    if dtype is None:
+        dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    model = get_network(ckpt["network"], options, vocab, dtype=dtype)
+    variables = {"params": ckpt["params"]}
+    if ckpt.get("batch_stats"):
+        variables["batch_stats"] = ckpt["batch_stats"]
+    return model, variables, options, vocab, ckpt
+
+
+def build_eval_loader(
+    file_path: str, options, vocab: Vocab, batch_size: int, max_sequence: int
+):
+    transform = get_valid_transforms(
+        options.input_size.height, options.input_size.width, options.data.rgb
+    )
+    dummy_gt = "\\sin " * max_sequence  # fixes decode length, reference trick
+    root = os.path.join(os.path.dirname(file_path), "images")
+    with open(file_path, "r") as fd:
+        rows = [r for r in csv.reader(fd, delimiter="\t") if r]
+    test_data = [
+        (os.path.join(root, r[0]), r[0], dummy_gt.strip()) for r in rows
+    ]
+    dataset = LoadEvalDataset(
+        test_data,
+        vocab.token_to_id,
+        vocab.id_to_token,
+        crop=False,
+        transform=transform,
+        rgb=options.data.rgb,
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size,
+        max_label_len=max_sequence + 2,
+        shuffle=False,
+        pad_last=True,
+    )
+    return loader, dataset
+
+
+def run_inference(
+    checkpoint_path: str,
+    file_path: str,
+    output_dir: str,
+    *,
+    batch_size: int = 32,
+    max_sequence: int = 230,
+    decode_type: str = "greedy",
+    beam_width: int = 3,
+    decoding_manager: bool = True,
+    tokens_path: Optional[str] = None,  # kept for CLI parity (vocab is in ckpt)
+    mesh=None,
+) -> List[Tuple[str, str]]:
+    model, variables, options, vocab, _ = load_model_from_checkpoint(
+        checkpoint_path
+    )
+    loader, _ = build_eval_loader(
+        file_path, options, vocab, batch_size, max_sequence
+    )
+
+    tables = RuleTables.build(vocab) if decoding_manager else None
+    num_steps = max_sequence + 1  # reference: len(dummy encoded) - 1
+
+    if decode_type == "greedy":
+        decode_fn = make_greedy_fn(
+            model, max_steps=num_steps, tables=tables, return_outputs=False
+        )
+    elif decode_type == "beam":
+        from p4fr_tpu.decoding.beam import make_beam_fn
+
+        decode_fn = make_beam_fn(
+            model, max_steps=num_steps, beam_width=beam_width,
+            eos_id=vocab.eos_id,
+        )
+    else:
+        raise ValueError(f"decode_type {decode_type}")
+
+    if mesh is not None:
+        from p4fr_tpu.parallel.sharding import make_sharded_infer_fn
+
+        fn = make_sharded_infer_fn(decode_fn, mesh)
+    else:
+        fn = jax.jit(decode_fn)
+
+    results: List[Tuple[str, str]] = []
+    start = time.perf_counter()
+    n_images = 0
+    for batch in loader:
+        images = jnp.asarray(batch["image"])
+        tokens = np.asarray(fn(variables, images))
+        count = batch["count"]
+        strs = id_to_string(
+            tokens[:count],
+            vocab.id_to_token,
+            sos_id=vocab.sos_id,
+            eos_id=vocab.eos_id,
+            pad_id=vocab.pad_id,
+            do_eval=True,
+        )
+        results.extend(zip(batch["file_path"][:count], strs))
+        n_images += count
+    elapsed = time.perf_counter() - start
+
+    os.makedirs(output_dir, exist_ok=True)
+    out_path = os.path.join(output_dir, "output.csv")
+    with open(out_path, "w") as w:
+        for path, predicted in results:
+            w.write(path + "\t" + predicted + "\n")
+    print(
+        f"[+] wrote {len(results)} predictions -> {out_path} "
+        f"({n_images / max(elapsed, 1e-9):.1f} img/s incl. host IO)"
+    )
+    return results
+
+
+def main(parser):
+    """CLI-args entry, reference inference_single.main parity."""
+    ckpts = parser.checkpoint
+    if isinstance(ckpts, (list, tuple)):
+        ckpts = ckpts[0]
+    return run_inference(
+        ckpts,
+        parser.file_path,
+        parser.output_dir,
+        batch_size=parser.batch_size,
+        max_sequence=parser.max_sequence,
+        decode_type=parser.decode_type,
+        beam_width=parser.beam_width,
+        decoding_manager=parser.decoding_manager,
+        tokens_path=parser.tokens_path,
+    )

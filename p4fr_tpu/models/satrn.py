@@ -281,6 +281,14 @@ class SATRN(nn.Module):
         """(layer_num, head_num, hidden_dim) for cache allocation."""
         return self.dec_layer_num, self.dec_head_num, self.dec_hidden_dim
 
+    def init_decode_cache(self, batch: int, max_steps: int):
+        from p4fr_tpu.models.common import empty_cache
+
+        return empty_cache(
+            self.dec_layer_num, batch, max_steps, self.dec_head_num,
+            self.dec_hidden_dim, self.dtype,
+        )
+
 
 def satrn_from_options(options, num_classes: int, pad_id: int, sos_id: int,
                        dtype=jnp.float32) -> SATRN:

@@ -1,0 +1,109 @@
+"""Sharded (pjit) train & inference step builders.
+
+Composes the jitted step functions from ``train.steps`` / ``decoding`` with
+mesh shardings: batch over the ``data`` axis, parameters replicated or
+tensor-sharded over ``model`` (see ``mesh.param_shardings``). XLA emits the
+gradient psums / activation collectives; nothing here hand-schedules
+communication.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from p4fr_tpu.parallel.mesh import (
+    Mesh,
+    NamedSharding,
+    P,
+    batch_sharding,
+    param_shardings,
+    replicated,
+)
+from p4fr_tpu.train.steps import TrainState, cross_entropy_ignore_pad
+
+
+def make_sharded_train_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    pad_id: int,
+    mesh: Mesh,
+) -> Callable:
+    """Data/tensor-parallel teacher-forced train step under the mesh.
+
+    The batch shards over ``data``; params/opt state follow
+    ``param_shardings`` (replicated unless the model axis is >1, in which
+    case transformer projections are tensor-sharded). The mean loss and the
+    gradient all-reduce are emitted by XLA from the sharding constraints.
+    """
+    batch_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+
+    def step(state: TrainState, images, text, rng):
+        def loss_fn(params):
+            variables = {"params": params, "batch_stats": state.batch_stats}
+            logits, updates = model.apply(
+                variables,
+                images,
+                text[:, :-1],
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": rng},
+            )
+            loss = cross_entropy_ignore_pad(logits, text[:, 1:], pad_id)
+            return loss, updates["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_stats, new_opt, state.step + 1),
+            {"loss": loss, "grad_norm": optax.global_norm(grads)},
+        )
+
+    cache = {}
+
+    def wrap(state: TrainState, images, text, rng):
+        if "jitted" not in cache:
+            param_sh = param_shardings(state.params, mesh)
+            state_sh = TrainState(
+                params=param_sh,
+                batch_stats=jax.tree_util.tree_map(
+                    lambda _: repl, state.batch_stats
+                ),
+                opt_state=jax.tree_util.tree_map(lambda _: repl, state.opt_state),
+                step=repl,
+            )
+            cache["jitted"] = jax.jit(
+                step,
+                in_shardings=(state_sh, batch_sh, batch_sh, repl),
+                out_shardings=(state_sh, {"loss": repl, "grad_norm": repl}),
+            )
+        return cache["jitted"](state, images, text, rng)
+
+    return wrap
+
+
+def make_sharded_infer_fn(decode_fn: Callable, mesh: Mesh) -> Callable:
+    """Data-parallel wrapper for a greedy/beam decode fn built by
+    ``decoding.*.make_*_fn``: images shard over ``data``, params replicate.
+    Used for single-model and ensemble inference throughput scaling."""
+    batch_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+
+    jitted = jax.jit(
+        decode_fn,
+        in_shardings=(repl, batch_sh),
+        out_shardings=None,
+    )
+
+    def run(variables, images):
+        return jitted(variables, images)
+
+    return run

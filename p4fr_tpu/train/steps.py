@@ -26,8 +26,6 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from p4fr_tpu.models.common import empty_cache
-
 
 class TrainState(NamedTuple):
     params: Any
@@ -87,12 +85,8 @@ def ar_sampled_logits(
         new_stats = variables.get("batch_stats")
 
     src_kv = model.apply(variables, src, method="precompute_src")
-    layer_num, head_num, hidden_dim = model.cache_spec()
-    batch = src.shape[0]
-    cache = empty_cache(
-        layer_num, batch, num_steps, head_num, hidden_dim, model.dtype
-    )
-    token0 = jnp.full((batch,), model.sos_id, jnp.int32)
+    cache = model.init_decode_cache(src.shape[0], num_steps)
+    token0 = jnp.full((src.shape[0],), model.sos_id, jnp.int32)
 
     def body(carry, t):
         token, cache = carry
