@@ -1,0 +1,186 @@
+"""Multi-model ensemble inference: per-step softmax averaging on device.
+
+The reference ensembles heterogeneous architectures with a 2-phase
+disk-staged pipeline — encoders run first and pickle their outputs to
+``./tmp_enc_results`` in chunks of ``--max_cache`` batches, then encoders
+are freed and decoder-only models step jointly token-by-token, averaging
+per-step softmax across models with an optional DecodingManager sift
+(reference: inference_modules/inference_ensemble.py:46-248,
+utils/ensemble_utils.py:45-120). That staging exists only because one
+2080-class GPU cannot hold all encoders+decoders at once.
+
+On TPU everything stays resident in HBM: each model's encoder runs on its
+own resolution-specific image batch, then ONE fused ``lax.scan`` steps all
+decoders jointly, averaging softmax per token step, with the vectorized
+grammar masking inline. ``--max_cache`` is accepted as a no-op compat shim.
+
+Per-model input resolutions follow each checkpoint's embedded config, like
+the reference's per-architecture dataloaders (inference_ensemble.py:72-109).
+"""
+
+from __future__ import annotations
+
+import csv
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p4fr_tpu.data.augment import get_valid_transforms
+from p4fr_tpu.data.dataset import load_image
+from p4fr_tpu.data.vocab import Vocab, id_to_string
+from p4fr_tpu.decoding import manager as dm
+from p4fr_tpu.infer.single import load_model_from_checkpoint
+
+
+def make_ensemble_decode_fn(
+    models: Sequence,
+    *,
+    max_steps: int,
+    tables: Optional[dm.RuleTables] = None,
+):
+    """fn(variables_list, memories_list) -> tokens [B, T].
+
+    All models must share the vocabulary (reference asserts the same).
+    Softmax is averaged across models each step (ensemble_utils.py:93-98);
+    the manager's additional softmax is monotonic so the argmax matches the
+    reference's double-softmax behavior exactly.
+    """
+    sos_id = models[0].sos_id
+
+    def fn(variables_list, memories):
+        batch = memories[0].shape[0]
+        src_kvs = [
+            m.apply(v, mem, method="precompute_src")
+            for m, v, mem in zip(models, variables_list, memories)
+        ]
+        caches = [m.init_decode_cache(batch, max_steps) for m in models]
+        token0 = jnp.full((batch,), sos_id, jnp.int32)
+        mstate0 = dm.init_state(batch, tables) if tables is not None else None
+
+        def body(carry, t):
+            token, caches, mstate = carry
+            probs_sum = None
+            new_caches = []
+            for model, variables, src_kv, cache in zip(
+                models, variables_list, src_kvs, caches
+            ):
+                logits, cache = model.apply(
+                    variables, token, t, src_kv, cache, method="decode_step"
+                )
+                p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                probs_sum = p if probs_sum is None else probs_sum + p
+                new_caches.append(cache)
+            mean = probs_sum / len(models)
+            if tables is not None:
+                target, _, mstate = dm.sift(mstate, mean, tables)
+            else:
+                target = jnp.argmax(mean, axis=-1).astype(jnp.int32)
+            return (target, tuple(new_caches), mstate), target
+
+        carry0 = (token0, tuple(caches), mstate0)
+        _, tokens = jax.lax.scan(body, carry0, jnp.arange(max_steps))
+        return tokens.T
+
+    return fn
+
+
+def run_ensemble(
+    checkpoint_paths: Sequence[str],
+    file_path: str,
+    output_dir: str,
+    *,
+    batch_size: int = 32,
+    max_sequence: int = 230,
+    decoding_manager: bool = True,
+    max_cache: int = 50,  # compat no-op
+) -> List[Tuple[str, str]]:
+    del max_cache
+    loaded = [load_model_from_checkpoint(p) for p in checkpoint_paths]
+    models = [l[0] for l in loaded]
+    variables_list = [l[1] for l in loaded]
+    options_list = [l[2] for l in loaded]
+    vocab: Vocab = loaded[0][3]
+
+    # per-model eval transform at its own resolution
+    transforms = [
+        get_valid_transforms(
+            o.input_size.height, o.input_size.width, o.data.rgb
+        )
+        for o in options_list
+    ]
+
+    root = os.path.join(os.path.dirname(file_path), "images")
+    with open(file_path, "r") as fd:
+        rows = [r for r in csv.reader(fd, delimiter="\t") if r]
+    names = [r[0] for r in rows]
+
+    tables = dm.RuleTables.build(vocab) if decoding_manager else None
+    num_steps = max_sequence + 1  # reference ensemble num_steps
+    decode = jax.jit(
+        make_ensemble_decode_fn(models, max_steps=num_steps, tables=tables)
+    )
+    encoders = [
+        jax.jit(
+            lambda v, im, m=model: m.apply(v, im, method="encode")
+        )
+        for model in models
+    ]
+
+    results: List[Tuple[str, str]] = []
+    start = time.perf_counter()
+    for chunk_start in range(0, len(names), batch_size):
+        chunk = names[chunk_start : chunk_start + batch_size]
+        count = len(chunk)
+        padded = chunk + [chunk[-1]] * (batch_size - count)
+        # each model encodes its own resolution-specific batch
+        memories = []
+        for model, variables, transform, options in zip(
+            models, variables_list, transforms, options_list
+        ):
+            imgs = np.stack(
+                [
+                    transform(
+                        load_image(os.path.join(root, n), options.data.rgb)
+                    )
+                    for n in padded
+                ]
+            ).astype(np.float32)
+            memories.append(encoders[len(memories)](variables, jnp.asarray(imgs)))
+        tokens = np.asarray(decode(variables_list, memories))
+        strs = id_to_string(
+            tokens[:count],
+            vocab.id_to_token,
+            sos_id=vocab.sos_id,
+            eos_id=vocab.eos_id,
+            pad_id=vocab.pad_id,
+            do_eval=True,
+        )
+        results.extend(zip(chunk, strs))
+    elapsed = time.perf_counter() - start
+
+    os.makedirs(output_dir, exist_ok=True)
+    out_path = os.path.join(output_dir, "output.csv")
+    with open(out_path, "w") as w:
+        for path, predicted in results:
+            w.write(path + "\t" + predicted + "\n")
+    print(
+        f"[+] ensemble of {len(models)} wrote {len(results)} predictions -> "
+        f"{out_path} ({len(results) / max(elapsed, 1e-9):.1f} img/s)"
+    )
+    return results
+
+
+def main(parser):
+    return run_ensemble(
+        parser.checkpoint,
+        parser.file_path,
+        parser.output_dir,
+        batch_size=parser.batch_size,
+        max_sequence=parser.max_sequence,
+        decoding_manager=parser.decoding_manager,
+        max_cache=parser.max_cache,
+    )
