@@ -1,0 +1,280 @@
+"""Checkpoint converter: mapping completeness + numeric torch parity.
+
+Two layers of checking:
+
+1. round-trip: flax-init a model, inverse-map its params into a torch-style
+   state_dict (reference key names), convert back, assert identity — proves
+   the rule table covers every parameter with correct shapes/transposes.
+2. torch oracle: build small torch modules per the reference layer spec,
+   convert their weights, and assert the flax module reproduces the torch
+   outputs numerically (Dense/Conv/BN/MHA/decoder-layer/LSTM).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from p4fr_tpu.utils.convert_pth import (  # noqa: E402
+    convert_state_dict,
+    rules_for,
+)
+
+from helpers import synth_images, synth_labels, tiny_satrn  # noqa: E402
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        path = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten(v, path))
+        else:
+            out[path] = np.asarray(v)
+    return out
+
+
+def _inverse_state_dict_litesatrn(params, batch_stats):
+    """flax trees -> reference-named torch state_dict (inverse transforms)."""
+    sd = {}
+    flat_p = _flatten(params)
+    flat_s = _flatten(batch_stats)
+
+    def put_linear(tkey, fkey):
+        sd[tkey + ".weight"] = torch.tensor(flat_p[fkey + "/kernel"].T)
+        if fkey + "/bias" in flat_p:
+            sd[tkey + ".bias"] = torch.tensor(flat_p[fkey + "/bias"])
+
+    def put_conv(tkey, fkey, depthwise=False):
+        w = flat_p[fkey + "/kernel"]
+        sd[tkey + ".weight"] = torch.tensor(np.transpose(w, (3, 2, 0, 1)))
+        if fkey + "/bias" in flat_p:
+            sd[tkey + ".bias"] = torch.tensor(flat_p[fkey + "/bias"])
+
+    def put_bn(tkey, fkey):
+        sd[tkey + ".weight"] = torch.tensor(flat_p[fkey + "/scale"])
+        sd[tkey + ".bias"] = torch.tensor(flat_p[fkey + "/bias"])
+        sd[tkey + ".running_mean"] = torch.tensor(flat_s[fkey + "/mean"])
+        sd[tkey + ".running_var"] = torch.tensor(flat_s[fkey + "/var"])
+
+    def put_ln(tkey, fkey):
+        sd[tkey + ".weight"] = torch.tensor(flat_p[fkey + "/scale"])
+        sd[tkey + ".bias"] = torch.tensor(flat_p[fkey + "/bias"])
+
+    for i in range(4):
+        put_conv(f"encoder.shallow_cnn.conv{i}", f"encoder/shallow_cnn/conv{i}")
+        put_bn(f"encoder.shallow_cnn.batch_norm{i}", f"encoder/shallow_cnn/bn{i}")
+    put_linear("encoder.positional_encoding.dense0",
+               "encoder/positional_encoding/dense0")
+    put_linear("encoder.positional_encoding.dense1",
+               "encoder/positional_encoding/dense1")
+    enc_layers = sorted(
+        {p.split("/")[1] for p in flat_p if p.startswith("encoder/layer")}
+    )
+    for name in enc_layers:
+        i = name[len("layer"):]
+        t = f"encoder.attention_layers.{i}"
+        f = f"encoder/{name}"
+        put_ln(f"{t}.norm", f"{f}/norm")
+        for lin in ("q_linear", "k_linear", "v_linear", "out_linear"):
+            put_linear(f"{t}.attention_layer.{lin}", f"{f}/attention/{lin}")
+        put_conv(f"{t}.conv0", f"{f}/conv0")
+        put_bn(f"{t}.norm0", f"{f}/bn0")
+        put_conv(f"{t}.depthwise", f"{f}/depthwise", depthwise=True)
+        put_bn(f"{t}.depthwise_norm", f"{f}/bn_depth")
+        put_conv(f"{t}.conv1", f"{f}/conv1")
+        put_bn(f"{t}.norm1", f"{f}/bn1")
+
+    sd["decoder.embedding.weight"] = torch.tensor(
+        flat_p["decoder/embedding/embedding"]
+    )
+    dec_layers = sorted(
+        {p.split("/")[1] for p in flat_p if p.startswith("decoder/layer")}
+    )
+    for name in dec_layers:
+        i = name[len("layer"):]
+        t = f"decoder.attention_layers.{i}"
+        f = f"decoder/{name}"
+        for lin in ("q_linear", "k_linear", "v_linear", "out_linear"):
+            put_linear(f"{t}.self_attention_layer.{lin}",
+                       f"{f}/self_attention/{lin}")
+            put_linear(f"{t}.attention_layer.{lin}",
+                       f"{f}/cross_attention/{lin}")
+        put_ln(f"{t}.self_attention_norm", f"{f}/self_attention_norm")
+        put_ln(f"{t}.attention_norm", f"{f}/cross_attention_norm")
+        put_linear(f"{t}.feedforward_layer.linear0", f"{f}/feedforward/linear0")
+        put_linear(f"{t}.feedforward_layer.linear1", f"{f}/feedforward/linear1")
+        put_ln(f"{t}.feedforward_norm", f"{f}/feedforward_norm")
+    put_linear("decoder.generator", "decoder/generator")
+    return sd
+
+
+def test_litesatrn_roundtrip_conversion():
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(1))
+    text = jnp.asarray(synth_labels(1, 6))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+    sd = _inverse_state_dict_litesatrn(params, stats)
+    got_p, got_s, unmatched = convert_state_dict("LiteSATRN", sd)
+    assert unmatched == [], unmatched
+
+    want_p, want_s = _flatten(params), _flatten(stats)
+    got_pf, got_sf = _flatten(got_p), _flatten(got_s)
+    assert set(got_pf) == set(want_p), (
+        set(want_p) - set(got_pf), set(got_pf) - set(want_p)
+    )
+    for k in want_p:
+        np.testing.assert_array_equal(got_pf[k], want_p[k], err_msg=k)
+    assert set(got_sf) == set(want_s)
+    for k in want_s:
+        np.testing.assert_array_equal(got_sf[k], want_s[k], err_msg=k)
+
+
+def test_decoder_layer_matches_torch_oracle():
+    """Converted weights reproduce a torch implementation of the reference
+    decoder layer (teacher-forced path) to float32 accuracy."""
+    import torch.nn as tnn
+
+    H, S, F_, HEADS, B, L, SL = 16, 24, 32, 4, 2, 5, 7
+
+    class TorchMHA(tnn.Module):
+        def __init__(self, q_ch, k_ch):
+            super().__init__()
+            self.q_linear = tnn.Linear(q_ch, q_ch)
+            self.k_linear = tnn.Linear(k_ch, q_ch)
+            self.v_linear = tnn.Linear(k_ch, q_ch)
+            self.out_linear = tnn.Linear(q_ch, q_ch)
+            self.temp = q_ch ** 0.5
+            self.heads = HEADS
+            self.hd = q_ch // HEADS
+
+        def forward(self, q, k, v, mask=None):
+            b, ql, kl = q.size(0), q.size(1), k.size(1)
+            q = self.q_linear(q).view(b, ql, self.heads, self.hd).transpose(1, 2)
+            k = self.k_linear(k).view(b, kl, self.heads, self.hd).transpose(1, 2)
+            v = self.v_linear(v).view(b, kl, self.heads, self.hd).transpose(1, 2)
+            attn = torch.matmul(q, k.transpose(2, 3)) / self.temp
+            if mask is not None:
+                attn = attn.masked_fill(mask.unsqueeze(1), float("-inf"))
+            attn = torch.softmax(attn, dim=-1)
+            out = torch.matmul(attn, v).transpose(1, 2).reshape(b, ql, -1)
+            return self.out_linear(out)
+
+    class TorchDecLayer(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.self_attention_layer = TorchMHA(H, H)
+            self.self_attention_norm = tnn.LayerNorm(H)
+            self.attention_layer = TorchMHA(H, S)
+            self.attention_norm = tnn.LayerNorm(H)
+            self.feedforward_layer = tnn.Sequential()
+            self.feedforward_layer.linear0 = tnn.Linear(H, F_)
+            self.feedforward_layer.linear1 = tnn.Linear(F_, H)
+            self.feedforward_norm = tnn.LayerNorm(H)
+
+        def forward(self, tgt, src, mask):
+            att = self.self_attention_layer(tgt, tgt, tgt, mask)
+            out = self.self_attention_norm(att + tgt)
+            att = self.attention_layer(out, src, src)
+            out = self.attention_norm(att + out)
+            ff = torch.relu(self.feedforward_layer.linear1(
+                torch.relu(self.feedforward_layer.linear0(out))))
+            return self.feedforward_norm(ff + out)
+
+    torch.manual_seed(0)
+    layer = TorchDecLayer().eval()
+    tgt = torch.randn(B, L, H)
+    src = torch.randn(B, SL, S)
+    causal = torch.triu(torch.ones(L, L), diagonal=1).bool().unsqueeze(0)
+    with torch.no_grad():
+        want = layer(tgt, src, causal).numpy()
+
+    # convert: the torch layer's state_dict uses reference names under
+    # decoder.attention_layers.0
+    sd = {
+        f"decoder.attention_layers.0.{k}": v
+        for k, v in layer.state_dict().items()
+    }
+    params, _, unmatched = convert_state_dict("LiteSATRN", sd)
+    assert unmatched == []
+
+    from p4fr_tpu.models.common import TransformerDecoderLayer
+
+    flax_layer = TransformerDecoderLayer(
+        hidden_dim=H, src_dim=S, filter_dim=F_, head_num=HEADS, dropout=0.0
+    )
+    flax_vars = {"params": params["decoder"]["layer0"]}
+    got = np.asarray(
+        flax_layer.apply(
+            flax_vars,
+            jnp.asarray(tgt.numpy()),
+            jnp.asarray(src.numpy()),
+            jnp.asarray(np.broadcast_to(causal.numpy(), (B, L, L))),
+            True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_lstm_cell_matches_torch():
+    from p4fr_tpu.ops.lstm import TorchLSTMCell
+
+    torch.manual_seed(1)
+    cell_t = torch.nn.LSTMCell(10, 8)
+    x = torch.randn(3, 10)
+    h0, c0 = torch.randn(3, 8), torch.randn(3, 8)
+    with torch.no_grad():
+        h1, c1 = cell_t(x, (h0, c0))
+
+    cell_f = TorchLSTMCell(8)
+    params = {
+        "weight_ih": np.asarray(cell_t.weight_ih.detach()),
+        "weight_hh": np.asarray(cell_t.weight_hh.detach()),
+        "bias_ih": np.asarray(cell_t.bias_ih.detach()),
+        "bias_hh": np.asarray(cell_t.bias_hh.detach()),
+    }
+    got_h, got_c = cell_f.apply(
+        {"params": params},
+        jnp.asarray(x.numpy()),
+        (jnp.asarray(h0.numpy()), jnp.asarray(c0.numpy())),
+    )
+    np.testing.assert_allclose(np.asarray(got_h), h1.numpy(), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_c), c1.numpy(), rtol=1e-5,
+                               atol=1e-5)
+
+
+def test_bilstm_matches_torch():
+    from p4fr_tpu.ops.lstm import BiLSTM
+
+    torch.manual_seed(2)
+    lstm_t = torch.nn.LSTM(6, 5, num_layers=2, bidirectional=True)
+    xs = torch.randn(4, 3, 6)  # [T, B, in] torch layout
+    with torch.no_grad():
+        want, _ = lstm_t(xs)  # [T, B, 10]
+
+    params = {}
+    for k in range(2):
+        for suffix, d in (("", "fwd"), ("_reverse", "bwd")):
+            params[f"l{k}_{d}"] = {
+                "cell": {
+                    w: np.asarray(getattr(lstm_t, f"{w}_l{k}{suffix}").detach())
+                    for w in ("weight_ih", "weight_hh", "bias_ih", "bias_hh")
+                }
+            }
+    model = BiLSTM(5, num_layers=2)
+    got = model.apply(
+        {"params": params}, jnp.asarray(xs.numpy().transpose(1, 0, 2))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), want.numpy().transpose(1, 0, 2), rtol=1e-5, atol=1e-5
+    )
