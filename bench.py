@@ -31,9 +31,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="tiny CPU-friendly sanity run")
-    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--batch", type=int, default=256,
+                        help="per-chip batch; decode is latency-bound so "
+                        "large batches amortize (32=reference default)")
     parser.add_argument("--steps", type=int, default=230)
-    parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--no-manager", action="store_true")
     parser.add_argument("--network", default="EfficientSATRN")
     args = parser.parse_args(argv)
