@@ -47,6 +47,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="compat shim: the reference staged encoder outputs to disk in "
         "chunks of this many batches; on TPU everything stays in HBM",
     )
+    parser.add_argument(
+        "--early_stop", type=str2bool, default=False,
+        help="exit the decode loop once every sequence emits <EOS> "
+        "(output-equivalent; the reference always runs all steps)",
+    )
     parser.add_argument("--file_path", required=True, help="input.txt TSV")
     parser.add_argument("--output_dir", default="./outputs")
     return parser

@@ -94,6 +94,7 @@ def run_inference(
     decoding_manager: bool = True,
     tokens_path: Optional[str] = None,  # kept for CLI parity (vocab is in ckpt)
     mesh=None,
+    early_stop: bool = False,
 ) -> List[Tuple[str, str]]:
     model, variables, options, vocab, _ = load_model_from_checkpoint(
         checkpoint_path
@@ -107,7 +108,8 @@ def run_inference(
 
     if decode_type == "greedy":
         decode_fn = make_greedy_fn(
-            model, max_steps=num_steps, tables=tables, return_outputs=False
+            model, max_steps=num_steps, tables=tables, return_outputs=False,
+            early_stop_eos=vocab.eos_id if early_stop else None,
         )
     elif decode_type == "beam":
         from p4fr_tpu.decoding.beam import make_beam_fn
@@ -172,4 +174,5 @@ def main(parser):
         beam_width=parser.beam_width,
         decoding_manager=parser.decoding_manager,
         tokens_path=parser.tokens_path,
+        early_stop=getattr(parser, "early_stop", False),
     )

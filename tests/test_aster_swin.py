@@ -19,24 +19,6 @@ def tiny_aster():
     )
 
 
-def tiny_swin():
-    from p4fr_tpu.models.swin import SwinEncoder, SwinTRN
-    import dataclasses
-
-    model = SwinTRN(
-        num_classes=245, pad_id=2, sos_id=0,
-        input_height=32, input_width=32,
-        dec_src_dim=64, dec_hidden_dim=32, dec_filter_dim=64,
-        dec_layer_num=1, dec_head_num=4,
-    )
-    # shrink the encoder for CPU tests
-    object.__setattr__(
-        model, "_tiny_encoder",
-        dict(embed_dim=8, depths=(1, 1), num_heads=(2, 4), window=4),
-    )
-    return model
-
-
 def test_aster_forward_and_greedy():
     model = tiny_aster()
     # 64x256 -> stem 31x127 -> /16 -> 2x8 -> pool/conv tail -> [B, W', 384]
