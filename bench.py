@@ -31,7 +31,7 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="tiny CPU-friendly sanity run")
-    parser.add_argument("--batch", type=int, default=256,
+    parser.add_argument("--batch", type=int, default=128,
                         help="per-chip batch; decode is latency-bound so "
                         "large batches amortize (32=reference default)")
     parser.add_argument("--steps", type=int, default=230)
@@ -48,7 +48,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from p4fr_tpu.data.vocab import Vocab
-    from p4fr_tpu.decoding.greedy import make_greedy_fn
+    from p4fr_tpu.decoding.greedy import make_greedy_fn  # noqa: F401
     from p4fr_tpu.decoding.manager import RuleTables
     from p4fr_tpu.models.registry import get_network
     from p4fr_tpu.utils.flags import Flags
@@ -82,11 +82,20 @@ def main(argv=None):
     )
 
     tables = None if args.no_manager else RuleTables.build(vocab)
-    fn = jax.jit(
-        make_greedy_fn(
-            model, max_steps=args.steps, tables=tables, return_outputs=False
+    if getattr(model, "supports_fast_decode", False):
+        from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
+
+        decode_fn = make_fast_greedy_fn(
+            model, variables, max_steps=args.steps, tables=tables
         )
-    )
+        fn = jax.jit(lambda v, im: decode_fn(im))
+    else:
+        fn = jax.jit(
+            make_greedy_fn(
+                model, max_steps=args.steps, tables=tables,
+                return_outputs=False,
+            )
+        )
 
     # compile + warmup. NOTE: through the axon TPU tunnel,
     # block_until_ready returns early; np.asarray forces a real

@@ -1,0 +1,298 @@
+"""Optimized transformer decode step: fused weights, packed KV cache.
+
+The generic flax ``decode_step`` issues ~10 small matmuls per layer per
+token; on TPU each kernel launch costs ~10-20us, which dominates the AR
+decode loop (measured: scan unrolling does not help — it is op-count, not
+scan overhead). This module extracts the decoder weights ONCE into a fused
+layout and runs the step as pure jnp with
+
+- one [H, 3H] matmul for the current token's q/k/v,
+- one [H, 2H] matmul for the output-cache projections (reference parity
+  semantics: layer outputs become future K/V — EfficientSATRN.py:546-548),
+- a single packed [B, L, 2H] cache per layer (one dynamic_update_slice
+  instead of two),
+- cross-attention K/V packed per layer and projected once per sequence.
+
+Numerically identical to ``TransformerDecoder.step`` (see
+tests/test_fast_step.py); used by the greedy/beam/ensemble hot loops when
+the model exposes a transformer decoder.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from p4fr_tpu.ops.attention import NEG_INF
+from p4fr_tpu.ops.posenc import sinusoid_interleaved
+
+
+class FastLayer(NamedTuple):
+    w_qkv: jnp.ndarray  # [H, 3H]
+    b_qkv: jnp.ndarray  # [3H]
+    w_out: jnp.ndarray  # [H, H]
+    b_out: jnp.ndarray
+    ln1_scale: jnp.ndarray
+    ln1_bias: jnp.ndarray
+    w_q2: jnp.ndarray  # [H, H] cross query
+    b_q2: jnp.ndarray
+    w_out2: jnp.ndarray
+    b_out2: jnp.ndarray
+    ln2_scale: jnp.ndarray
+    ln2_bias: jnp.ndarray
+    w_ff0: jnp.ndarray  # [H, F]
+    b_ff0: jnp.ndarray
+    w_ff1: jnp.ndarray  # [F, H]
+    b_ff1: jnp.ndarray
+    ln3_scale: jnp.ndarray
+    ln3_bias: jnp.ndarray
+    w_ck: jnp.ndarray  # [C, H] cross key (src projection)
+    b_ck: jnp.ndarray
+    w_cv: jnp.ndarray
+    b_cv: jnp.ndarray
+
+
+class FastDecoder(NamedTuple):
+    embed_scaled: jnp.ndarray  # [V+1, H] * sqrt(H)
+    pos_encoding: jnp.ndarray  # [max_len, H]
+    layers: Tuple[FastLayer, ...]
+    w_gen: jnp.ndarray  # [H, V]
+    b_gen: jnp.ndarray
+    head_num: int
+    cache_outputs: bool
+
+
+def build_fast_decoder(model, variables) -> FastDecoder:
+    """Extract + fuse the transformer-decoder weights from flax variables."""
+    dec = variables["params"]["decoder"]
+    dtype = model.dtype
+    hidden = model.cache_spec()[2]
+    head_num = model.cache_spec()[1]
+    layer_num = model.cache_spec()[0]
+
+    def j(x):
+        return jnp.asarray(x, dtype)
+
+    layers: List[FastLayer] = []
+    for i in range(layer_num):
+        lp = dec[f"layer{i}"]
+        sa, ca = lp["self_attention"], lp["cross_attention"]
+        ff = lp["feedforward"]
+        layers.append(
+            FastLayer(
+                w_qkv=jnp.concatenate(
+                    [j(sa["q_linear"]["kernel"]), j(sa["k_linear"]["kernel"]),
+                     j(sa["v_linear"]["kernel"])], axis=1
+                ),
+                b_qkv=jnp.concatenate(
+                    [j(sa["q_linear"]["bias"]), j(sa["k_linear"]["bias"]),
+                     j(sa["v_linear"]["bias"])]
+                ),
+                w_out=j(sa["out_linear"]["kernel"]),
+                b_out=j(sa["out_linear"]["bias"]),
+                ln1_scale=j(lp["self_attention_norm"]["scale"]),
+                ln1_bias=j(lp["self_attention_norm"]["bias"]),
+                w_q2=j(ca["q_linear"]["kernel"]),
+                b_q2=j(ca["q_linear"]["bias"]),
+                w_out2=j(ca["out_linear"]["kernel"]),
+                b_out2=j(ca["out_linear"]["bias"]),
+                ln2_scale=j(lp["cross_attention_norm"]["scale"]),
+                ln2_bias=j(lp["cross_attention_norm"]["bias"]),
+                w_ff0=j(ff["linear0"]["kernel"]),
+                b_ff0=j(ff["linear0"]["bias"]),
+                w_ff1=j(ff["linear1"]["kernel"]),
+                b_ff1=j(ff["linear1"]["bias"]),
+                ln3_scale=j(lp["feedforward_norm"]["scale"]),
+                ln3_bias=j(lp["feedforward_norm"]["bias"]),
+                w_ck=j(ca["k_linear"]["kernel"]),
+                b_ck=j(ca["k_linear"]["bias"]),
+                w_cv=j(ca["v_linear"]["kernel"]),
+                b_cv=j(ca["v_linear"]["bias"]),
+            )
+        )
+    embed = j(dec["embedding"]["embedding"]) * jnp.asarray(
+        np.sqrt(hidden), dtype
+    )
+    pe = jnp.asarray(sinusoid_interleaved(500, hidden), dtype)
+    return FastDecoder(
+        embed_scaled=embed,
+        pos_encoding=pe,
+        layers=tuple(layers),
+        w_gen=j(dec["generator"]["kernel"]),
+        b_gen=j(dec["generator"]["bias"]),
+        head_num=head_num,
+        cache_outputs=bool(getattr(model, "reference_parity", True)),
+    )
+
+
+def precompute_cross_kv(fast: FastDecoder, src: jnp.ndarray):
+    """Per-layer packed cross K/V: [B, S, 2H] each layer."""
+    return tuple(
+        jnp.concatenate(
+            [src @ layer.w_ck + layer.b_ck, src @ layer.w_cv + layer.b_cv],
+            axis=-1,
+        )
+        for layer in fast.layers
+    )
+
+
+def init_fast_cache(
+    fast: FastDecoder, batch: int, max_len: int
+) -> Tuple[jnp.ndarray, ...]:
+    hidden = fast.w_gen.shape[0]
+    return tuple(
+        jnp.zeros((batch, max_len, 2 * hidden), fast.w_gen.dtype)
+        for _ in fast.layers
+    )
+
+
+def _ln(x, scale, bias):
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + 1e-5) * scale + bias
+
+
+def _heads(x, h):
+    b = x.shape[0]
+    return x.reshape(b, h, x.shape[-1] // h)
+
+
+def fast_decode_step(
+    fast: FastDecoder,
+    token: jnp.ndarray,  # [B]
+    pos: jnp.ndarray,  # scalar
+    cross_kv: Tuple[jnp.ndarray, ...],
+    cache: Tuple[jnp.ndarray, ...],
+):
+    """One AR step -> (logits [B, V] float32, new cache)."""
+    h = fast.head_num
+    x = fast.embed_scaled[token] + fast.pos_encoding[pos][None, :]
+    batch = x.shape[0]
+    hidden = x.shape[-1]
+    temp = jnp.asarray(float(hidden) ** 0.5, x.dtype)
+
+    new_cache = []
+    for layer, kv_cache, ckv in zip(fast.layers, cache, cross_kv):
+        max_len = kv_cache.shape[1]
+        qkv = x @ layer.w_qkv + layer.b_qkv  # [B, 3H]
+        q, k_cur, v_cur = jnp.split(qkv, 3, axis=-1)
+        kv_all = jax.lax.dynamic_update_slice(
+            kv_cache,
+            jnp.concatenate([k_cur, v_cur], -1)[:, None, :],
+            (0, pos, 0),
+        )
+        k_all = kv_all[..., :hidden].reshape(batch, max_len, h, hidden // h)
+        v_all = kv_all[..., hidden:].reshape(batch, max_len, h, hidden // h)
+        scores = jnp.einsum("bhd,blhd->bhl", _heads(q, h), k_all) / temp
+        ban = (jnp.arange(max_len) > pos)[None, None, :]
+        scores = jnp.where(ban, jnp.asarray(NEG_INF, scores.dtype), scores)
+        probs = jax.nn.softmax(scores, axis=-1)
+        att = jnp.einsum("bhl,blhd->bhd", probs, v_all).reshape(batch, hidden)
+        att = att @ layer.w_out + layer.b_out
+        out = _ln(att + x, layer.ln1_scale, layer.ln1_bias)
+
+        # cross attention over packed per-layer src K/V
+        q2 = _heads(out @ layer.w_q2 + layer.b_q2, h)
+        ck = ckv[..., :hidden].reshape(batch, -1, h, hidden // h)
+        cv = ckv[..., hidden:].reshape(batch, -1, h, hidden // h)
+        s2 = jnp.einsum("bhd,blhd->bhl", q2, ck) / temp
+        p2 = jax.nn.softmax(s2, axis=-1)
+        att2 = jnp.einsum("bhl,blhd->bhd", p2, cv).reshape(batch, hidden)
+        att2 = att2 @ layer.w_out2 + layer.b_out2
+        out = _ln(att2 + out, layer.ln2_scale, layer.ln2_bias)
+
+        ffo = jnp.maximum(out @ layer.w_ff0 + layer.b_ff0, 0)
+        ffo = jnp.maximum(ffo @ layer.w_ff1 + layer.b_ff1, 0)
+        out = _ln(ffo + out, layer.ln3_scale, layer.ln3_bias)
+
+        if fast.cache_outputs:
+            # reference parity: the layer OUTPUT becomes future K/V
+            w_kv = layer.w_qkv[:, hidden:]  # [H, 2H] (k|v)
+            b_kv = layer.b_qkv[hidden:]
+            kv_o = out @ w_kv + b_kv
+            kv_all = jax.lax.dynamic_update_slice(
+                kv_all, kv_o[:, None, :], (0, pos, 0)
+            )
+        new_cache.append(kv_all)
+        x = out
+
+    logits = (x @ fast.w_gen + fast.b_gen).astype(jnp.float32)
+    return logits, tuple(new_cache)
+
+
+def make_fast_greedy_fn(
+    model,
+    variables,
+    *,
+    max_steps: int,
+    tables=None,
+    early_stop_eos: Optional[int] = None,
+):
+    """Greedy decode over the fast step. Returns fn(images) -> tokens.
+
+    Weights are fused at build time (so the returned fn closes over them);
+    the encoder still runs through the flax model.
+    """
+    from p4fr_tpu.decoding import manager as dm
+
+    fast = build_fast_decoder(model, variables)
+    sos_id = model.sos_id
+
+    def fn(images):
+        src = model.apply(variables, images, method="encode")
+        batch = src.shape[0]
+        cross_kv = precompute_cross_kv(fast, src.astype(fast.w_gen.dtype))
+        cache = init_fast_cache(fast, batch, max_steps)
+        token0 = jnp.full((batch,), sos_id, jnp.int32)
+
+        if early_stop_eos is not None:
+            out_buf = jnp.full((batch, max_steps), early_stop_eos, jnp.int32)
+            mstate0 = dm.init_state(batch, tables) if tables is not None else None
+            done0 = jnp.zeros((batch,), bool)
+
+            def cond(carry):
+                t, *_ = carry
+                return (carry[0] < max_steps) & ~jnp.all(carry[4])
+
+            def body(carry):
+                t, token, cache, mstate, done, buf = carry
+                logits, cache = fast_decode_step(fast, token, t, cross_kv, cache)
+                if tables is not None:
+                    target, _, mstate = dm.sift(mstate, logits, tables)
+                else:
+                    target = jnp.argmax(logits, -1).astype(jnp.int32)
+                buf = buf.at[:, t].set(jnp.where(done, early_stop_eos, target))
+                done = done | (target == early_stop_eos)
+                return t + 1, target, cache, mstate, done, buf
+
+            carry = (jnp.asarray(0), token0, cache, mstate0, done0, out_buf)
+            *_, out_buf = jax.lax.while_loop(cond, body, carry)
+            return out_buf
+
+        if tables is not None:
+            mstate0 = dm.init_state(batch, tables)
+
+            def body(carry, t):
+                token, cache, mstate = carry
+                logits, cache = fast_decode_step(fast, token, t, cross_kv, cache)
+                target, _, mstate = dm.sift(mstate, logits, tables)
+                return (target, cache, mstate), target
+
+            carry0 = (token0, cache, mstate0)
+        else:
+
+            def body(carry, t):
+                token, cache = carry
+                logits, cache = fast_decode_step(fast, token, t, cross_kv, cache)
+                target = jnp.argmax(logits, -1).astype(jnp.int32)
+                return (target, cache), target
+
+            carry0 = (token0, cache)
+
+        _, tokens = jax.lax.scan(body, carry0, jnp.arange(max_steps))
+        return tokens.T
+
+    return fn

@@ -107,10 +107,20 @@ def run_inference(
     num_steps = max_sequence + 1  # reference: len(dummy encoded) - 1
 
     if decode_type == "greedy":
-        decode_fn = make_greedy_fn(
-            model, max_steps=num_steps, tables=tables, return_outputs=False,
-            early_stop_eos=vocab.eos_id if early_stop else None,
-        )
+        if getattr(model, "supports_fast_decode", False):
+            from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
+
+            fused = make_fast_greedy_fn(
+                model, variables, max_steps=num_steps, tables=tables,
+                early_stop_eos=vocab.eos_id if early_stop else None,
+            )
+            decode_fn = lambda v, im: fused(im)  # noqa: E731
+        else:
+            decode_fn = make_greedy_fn(
+                model, max_steps=num_steps, tables=tables,
+                return_outputs=False,
+                early_stop_eos=vocab.eos_id if early_stop else None,
+            )
     elif decode_type == "beam":
         from p4fr_tpu.decoding.beam import make_beam_fn
 

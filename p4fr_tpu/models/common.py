@@ -82,7 +82,7 @@ class TransformerDecoderLayer(nn.Module):
             dtype=self.dtype,
             name="self_attention",
         )
-        self.self_attention_norm = nn.LayerNorm(dtype=self.dtype)
+        self.self_attention_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.cross_attention = MultiHeadAttention(
             q_dim=self.hidden_dim,
             k_dim=self.src_dim,
@@ -91,14 +91,14 @@ class TransformerDecoderLayer(nn.Module):
             dtype=self.dtype,
             name="cross_attention",
         )
-        self.cross_attention_norm = nn.LayerNorm(dtype=self.dtype)
+        self.cross_attention_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.feedforward = Feedforward(
             filter_dim=self.filter_dim,
             hidden_dim=self.hidden_dim,
             dropout=self.dropout,
             dtype=self.dtype,
         )
-        self.feedforward_norm = nn.LayerNorm(dtype=self.dtype)
+        self.feedforward_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
 
     def __call__(
         self,

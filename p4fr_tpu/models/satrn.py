@@ -104,7 +104,7 @@ class SATRNEncoderLayer(nn.Module):
         b, h, w, c = x.shape
         flat = x.reshape(b, h * w, c)
         # NOTE: the reference reuses one LayerNorm for both applications.
-        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
         y = norm(flat)
         y = MultiHeadAttention(
             q_dim=self.hidden_dim,
@@ -277,6 +277,8 @@ class SATRN(nn.Module):
         return self.decoder.step(token, pos, src_kv, cache, deterministic)
 
     # ---- module-free helpers -------------------------------------------
+    supports_fast_decode = True  # decoding/fast_step.py weight fusion
+
     def cache_spec(self) -> Tuple[int, int, int]:
         """(layer_num, head_num, hidden_dim) for cache allocation."""
         return self.dec_layer_num, self.dec_head_num, self.dec_hidden_dim

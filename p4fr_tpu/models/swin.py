@@ -156,7 +156,7 @@ class SwinBlock(nn.Module):
         h, ww = self.resolution
         b, l, c = x.shape
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         x = x.reshape(b, h, ww, c)
         if self.shift > 0:
             x = jnp.roll(x, (-self.shift, -self.shift), axis=(1, 2))
@@ -181,7 +181,7 @@ class SwinBlock(nn.Module):
             x, deterministic
         )
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype,
                      name="mlp_fc1")(y)
         y = nn.gelu(y, approximate=False)
@@ -211,7 +211,7 @@ class PatchMerging(nn.Module):
             ],
             axis=-1,
         ).reshape(b, (h // 2) * (ww // 2), 4 * c)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype,
                         name="reduction")(x)
 
@@ -238,7 +238,7 @@ class SwinEncoder(nn.Module):
         )(images)
         b, h, ww, c = x.shape
         x = x.reshape(b, h * ww, c)
-        x = nn.LayerNorm(dtype=self.dtype, name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
 
         total_blocks = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)
@@ -269,7 +269,7 @@ class SwinEncoder(nn.Module):
                 )(x)
                 res = (res[0] // 2, res[1] // 2)
                 dim *= 2
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class SwinTRN(nn.Module):
@@ -322,6 +322,8 @@ class SwinTRN(nn.Module):
 
     def decode_step(self, token, pos, src_kv, cache, deterministic: bool = True):
         return self.decoder.step(token, pos, src_kv, cache, deterministic)
+
+    supports_fast_decode = True  # decoding/fast_step.py weight fusion
 
     def cache_spec(self):
         return self.dec_layer_num, self.dec_head_num, self.dec_hidden_dim

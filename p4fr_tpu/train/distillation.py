@@ -155,7 +155,7 @@ def get_distillation_loaders(options, teacher_options, max_label_len: int):
 
 
 def main(options_or_path, *, teacher_ckpt: str, max_label_len: int = 232,
-         log_dir: Optional[str] = None):
+         log_dir: Optional[str] = None, wandb_kwargs: Optional[Dict] = None):
     options = (
         Flags(options_or_path).get()
         if not hasattr(options_or_path, "to_dict")
@@ -212,7 +212,11 @@ def main(options_or_path, *, teacher_ckpt: str, max_label_len: int = 232,
     step_fn = make_distill_step(student, teacher, teacher_variables, optimizer)
     eval_step = make_eval_step(student, pad_id)
 
-    logger = ExperimentLogger(log_dir or os.path.join(options.prefix, "logs"))
+    logger = ExperimentLogger(
+        log_dir or os.path.join(options.prefix, "logs"),
+        use_wandb=wandb_kwargs is not None,
+        wandb_kwargs=wandb_kwargs,
+    )
     logger.text(
         f"[+] Distillation: student {options.network} <- teacher "
         f"{teacher_options.network} (T=10, alpha=0.1)"

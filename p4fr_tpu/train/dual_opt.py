@@ -71,7 +71,8 @@ def build_dual_optimizer(
     )
 
 
-def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = None):
+def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = None,
+         wandb_kwargs: Optional[Dict] = None):
     options = (
         Flags(options_or_path).get()
         if not hasattr(options_or_path, "to_dict")
@@ -145,7 +146,11 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
     train_step = make_train_step(model, optimizer, pad_id)
     eval_step = make_eval_step(model, pad_id)
 
-    logger = ExperimentLogger(log_dir or os.path.join(options.prefix, "logs"))
+    logger = ExperimentLogger(
+        log_dir or os.path.join(options.prefix, "logs"),
+        use_wandb=wandb_kwargs is not None,
+        wandb_kwargs=wandb_kwargs,
+    )
     logger.text(
         f"[+] Dual-opt {options.network}: enc_lr {options.optimizer.enc_lr} "
         f"dec_lr {options.optimizer.dec_lr} | total steps {total_steps}"

@@ -101,7 +101,8 @@ def run_epoch_metrics(agg: Dict[str, float]) -> Dict[str, float]:
     }
 
 
-def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = None):
+def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = None,
+         wandb_kwargs: Optional[Dict] = None):
     options = (
         Flags(options_or_path).get()
         if not hasattr(options_or_path, "to_dict")
@@ -200,7 +201,11 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
     train_step = make_train_step(model, optimizer, pad_id)
     eval_step = make_eval_step(model, pad_id)
 
-    logger = ExperimentLogger(log_dir or os.path.join(options.prefix, "logs"))
+    logger = ExperimentLogger(
+        log_dir or os.path.join(options.prefix, "logs"),
+        use_wandb=wandb_kwargs is not None,
+        wandb_kwargs=wandb_kwargs,
+    )
     logger.text(
         f"[+] Network: {options.network} | steps/epoch: {len(train_loader)} "
         f"| total steps: {total_steps} | dtype: {dtype.__name__}"

@@ -52,6 +52,11 @@ def main(argv=None):
     kwargs = {"max_label_len": args.max_label_len}
     if args.train_type == "distillation":
         kwargs["teacher_ckpt"] = args.teacher_ckpt
+    if args.project_name or args.exp_name:
+        kwargs["wandb_kwargs"] = {
+            "project": args.project_name,
+            "name": args.exp_name,
+        }
     return module.main(args.config_file, **kwargs)
 
 
