@@ -223,6 +223,61 @@ def fast_decode_step(
     return logits, tuple(new_cache)
 
 
+def layer_weight_tuple(layer: FastLayer):
+    """FastLayer -> the weight tuple consumed by the Pallas layer kernel."""
+    return (
+        layer.w_qkv,
+        layer.b_qkv,
+        layer.w_out,
+        layer.b_out,
+        (layer.ln1_scale, layer.ln1_bias),
+        layer.w_q2,
+        layer.b_q2,
+        layer.w_out2,
+        layer.b_out2,
+        (layer.ln2_scale, layer.ln2_bias),
+        layer.w_ff0,
+        layer.b_ff0,
+        layer.w_ff1,
+        layer.b_ff1,
+        (layer.ln3_scale, layer.ln3_bias),
+    )
+
+
+def pallas_decode_step(
+    fast: FastDecoder,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    cross_kv: Tuple[jnp.ndarray, ...],
+    cache: Tuple[jnp.ndarray, ...],
+    *,
+    batch_tile: int = 8,
+    interpret: bool = False,
+):
+    """One AR step where each decoder layer is ONE fused Pallas kernel
+    (ops/pallas/decoder_layer.py). Same packed cache layout and numerics
+    as ``fast_decode_step``."""
+    from p4fr_tpu.ops.pallas.decoder_layer import decoder_layer_step
+
+    x = fast.embed_scaled[token] + fast.pos_encoding[pos][None, :]
+    new_cache = []
+    for layer, kv_cache, ckv in zip(fast.layers, cache, cross_kv):
+        x, kv_cache = decoder_layer_step(
+            x,
+            pos,
+            kv_cache,
+            ckv,
+            layer_weight_tuple(layer),
+            head_num=fast.head_num,
+            cache_outputs=fast.cache_outputs,
+            batch_tile=batch_tile,
+            interpret=interpret,
+        )
+        new_cache.append(kv_cache)
+    logits = (x @ fast.w_gen + fast.b_gen).astype(jnp.float32)
+    return logits, tuple(new_cache)
+
+
 def make_fast_greedy_fn(
     model,
     variables,
@@ -230,6 +285,8 @@ def make_fast_greedy_fn(
     max_steps: int,
     tables=None,
     early_stop_eos: Optional[int] = None,
+    use_pallas: bool = False,
+    batch_tile: int = 8,
 ):
     """Greedy decode over the fast step. Returns fn(images) -> tokens.
 
@@ -240,6 +297,13 @@ def make_fast_greedy_fn(
 
     fast = build_fast_decoder(model, variables)
     sos_id = model.sos_id
+    if use_pallas:
+        def step_fn(fast_, token, t, cross_kv, cache):
+            return pallas_decode_step(
+                fast_, token, t, cross_kv, cache, batch_tile=batch_tile
+            )
+    else:
+        step_fn = fast_decode_step
 
     def fn(images):
         src = model.apply(variables, images, method="encode")
@@ -259,7 +323,7 @@ def make_fast_greedy_fn(
 
             def body(carry):
                 t, token, cache, mstate, done, buf = carry
-                logits, cache = fast_decode_step(fast, token, t, cross_kv, cache)
+                logits, cache = step_fn(fast, token, t, cross_kv, cache)
                 if tables is not None:
                     target, _, mstate = dm.sift(mstate, logits, tables)
                 else:
@@ -277,7 +341,7 @@ def make_fast_greedy_fn(
 
             def body(carry, t):
                 token, cache, mstate = carry
-                logits, cache = fast_decode_step(fast, token, t, cross_kv, cache)
+                logits, cache = step_fn(fast, token, t, cross_kv, cache)
                 target, _, mstate = dm.sift(mstate, logits, tables)
                 return (target, cache, mstate), target
 
@@ -286,7 +350,7 @@ def make_fast_greedy_fn(
 
             def body(carry, t):
                 token, cache = carry
-                logits, cache = fast_decode_step(fast, token, t, cross_kv, cache)
+                logits, cache = step_fn(fast, token, t, cross_kv, cache)
                 target = jnp.argmax(logits, -1).astype(jnp.int32)
                 return (target, cache), target
 
