@@ -20,7 +20,7 @@ the model exposes a transformer decoder.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+from typing import List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -244,6 +244,35 @@ def layer_weight_tuple(layer: FastLayer):
     )
 
 
+def pallas_decode_step_v2(
+    fast: FastDecoder,
+    token: jnp.ndarray,
+    pos: jnp.ndarray,
+    cross_kv: Tuple[jnp.ndarray, ...],
+    cache: Tuple[jnp.ndarray, ...],
+    *,
+    batch_tile: int = 16,
+    chunk: int = 64,
+    interpret: bool = False,
+):
+    """One AR step via the flash-decode fused layer kernel
+    (ops/pallas/decoder_layer_v2.py): HBM-resident cache, prefix-chunk
+    DMA with online softmax, single-slot XLA scatter."""
+    from p4fr_tpu.ops.pallas.decoder_layer_v2 import decoder_layer_step_v2
+
+    x = fast.embed_scaled[token] + fast.pos_encoding[pos][None, :]
+    new_cache = []
+    for layer, kv_cache, ckv in zip(fast.layers, cache, cross_kv):
+        x, kv_cache = decoder_layer_step_v2(
+            x, pos, kv_cache, ckv, layer_weight_tuple(layer),
+            head_num=fast.head_num, cache_outputs=fast.cache_outputs,
+            batch_tile=batch_tile, chunk=chunk, interpret=interpret,
+        )
+        new_cache.append(kv_cache)
+    logits = (x @ fast.w_gen + fast.b_gen).astype(jnp.float32)
+    return logits, tuple(new_cache)
+
+
 def pallas_decode_step(
     fast: FastDecoder,
     token: jnp.ndarray,
@@ -286,6 +315,7 @@ def make_fast_greedy_fn(
     tables=None,
     early_stop_eos: Optional[int] = None,
     use_pallas: bool = False,
+    use_pallas_v2: bool = False,
     batch_tile: int = 8,
 ):
     """Greedy decode over the fast step. Returns fn(images) -> tokens.
@@ -297,7 +327,10 @@ def make_fast_greedy_fn(
 
     fast = build_fast_decoder(model, variables)
     sos_id = model.sos_id
-    if use_pallas:
+    if use_pallas_v2:
+        def step_fn(fast_, token, t, cross_kv, cache):
+            return pallas_decode_step_v2(fast_, token, t, cross_kv, cache)
+    elif use_pallas:
         def step_fn(fast_, token, t, cross_kv, cache):
             return pallas_decode_step(
                 fast_, token, t, cross_kv, cache, batch_tile=batch_tile
@@ -305,11 +338,15 @@ def make_fast_greedy_fn(
     else:
         step_fn = fast_decode_step
 
+    cache_len = max_steps
+    if use_pallas_v2 and cache_len % 64 != 0:
+        cache_len = ((cache_len + 63) // 64) * 64  # chunk alignment
+
     def fn(images):
         src = model.apply(variables, images, method="encode")
         batch = src.shape[0]
         cross_kv = precompute_cross_kv(fast, src.astype(fast.w_gen.dtype))
-        cache = init_fast_cache(fast, batch, max_steps)
+        cache = init_fast_cache(fast, batch, cache_len)
         token0 = jnp.full((batch,), sos_id, jnp.int32)
 
         if early_stop_eos is not None:

@@ -15,8 +15,11 @@ Mechanics:
   scratch, seeded with the current position's contribution;
 - double-buffered chunk DMA (start chunk c+1 before computing chunk c);
 - the future-slot K/V (reference parity: the layer OUTPUT's projection)
-  is DMA'd to ``cache[rows, pos, :]`` at kernel end; the cache input is
-  aliased to the cache output so XLA treats it as an in-place update;
+  is returned as a [B, 2H] output and scattered into the cache by ONE XLA
+  dynamic_update_slice on the donated scan carry (a tiled HBM memref
+  cannot be DMA-sliced at an arbitrary row, so the in-kernel slot write
+  is not expressible; the XLA DUS writes only the slot, preserving the
+  bandwidth win);
 - grid over batch tiles; weights in VMEM; matmuls on the MXU in f32.
 
 Numerics match ``fast_decode_step`` (softmax reassociation differences
@@ -50,21 +53,18 @@ def _kernel(
     w_ff0_ref, b_ff0_ref, w_ff1_ref, b_ff1_ref, ln3_ref,
     # outputs
     out_ref,  # [TB, H] VMEM
-    cache_out_hbm,  # alias of cache_hbm
+    slot_ref,  # [TB, 2H] VMEM — K/V to scatter at ``pos`` (XLA DUS)
     # scratch
     chunk_buf,  # [2, TB, CK, 2H] VMEM
-    slot_buf,  # [TB, 2H] VMEM
     m_buf,  # [TB, HEADS] f32
     l_buf,  # [TB, HEADS] f32
     acc_buf,  # [TB, H] f32
     chunk_sem,  # DMA sem [2]
-    slot_sem,  # DMA sem []
     *,
     head_num: int,
     chunk: int,
     cache_outputs: bool,
 ):
-    del cache_out_hbm  # same buffer as cache_hbm (aliased)
     pos = pos_ref[0]
     i = pl.program_id(0)
     x = x_ref[:].astype(jnp.float32)
@@ -127,7 +127,6 @@ def _kernel(
                     chunk_dma((c + 1) % 2, c + 1).start()
 
             chunk_dma(c % 2, c).wait()
-            kv = chunk_buf[c % 2]  # [TB, CK, 2H]
             lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
             banned = (start + lane) >= pos  # strictly-before prefix
             for h in range(head_num):
@@ -135,8 +134,10 @@ def _kernel(
                 vsl = slice(
                     hidden + h * head_dim, hidden + (h + 1) * head_dim
                 )
-                k_h = kv[:, :, sl].astype(jnp.float32)
-                v_h = kv[:, :, vsl].astype(jnp.float32)
+                # slice per head straight from the ref: only [TB, CK, dh]
+                # tiles hit the VMEM stack
+                k_h = chunk_buf[c % 2, :, :, sl].astype(jnp.float32)
+                v_h = chunk_buf[c % 2, :, :, vsl].astype(jnp.float32)
                 s = jnp.sum(q[:, sl][:, None, :] * k_h, axis=-1) / temp
                 s = jnp.where(banned[None, :], NEG_INF, s)
                 m_old = m_buf[:, h]
@@ -201,7 +202,7 @@ def _kernel(
     )
     out = ln(ff + out, ln3_ref)
 
-    # ---- slot write-back -------------------------------------------------
+    # ---- slot to scatter (XLA applies the dynamic_update_slice) ----------
     if cache_outputs:
         kv_slot = (
             jnp.dot(out, w_qkv[:, hidden:],
@@ -210,13 +211,8 @@ def _kernel(
         )
     else:
         kv_slot = kv_cur
-    slot_buf[:] = kv_slot.astype(slot_buf.dtype)
-    slot_dma = pltpu.make_async_copy(
-        slot_buf, cache_hbm.at[rows, pos, :], slot_sem
-    )
-    slot_dma.start()
+    slot_ref[:] = kv_slot.astype(slot_ref.dtype)
     out_ref[:] = out.astype(out_ref.dtype)
-    slot_dma.wait()
 
 
 @functools.partial(
@@ -233,11 +229,11 @@ def decoder_layer_step_v2(
     *,
     head_num: int,
     cache_outputs: bool = True,
-    batch_tile: int = 32,
+    batch_tile: int = 16,
     chunk: int = 64,
     interpret: bool = False,
 ):
-    """Flash-decode fused layer step -> (out [B, H], cache updated in place)."""
+    """Flash-decode fused layer step -> (out [B, H], new cache)."""
     b, hidden = x.shape
     tb = min(batch_tile, b)
     assert b % tb == 0, (b, tb)
@@ -264,7 +260,7 @@ def decoder_layer_step_v2(
     kernel = functools.partial(
         _kernel, head_num=head_num, chunk=chunk, cache_outputs=cache_outputs
     )
-    out, new_cache = pl.pallas_call(
+    out, kv_slot = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -291,24 +287,20 @@ def decoder_layer_step_v2(
             ],
             out_specs=[
                 batch_spec((hidden,)),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                batch_spec((2 * hidden,)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((2, tb, chunk, 2 * hidden), cache.dtype),
-                pltpu.VMEM((tb, 2 * hidden), cache.dtype),
                 pltpu.VMEM((tb, head_num), jnp.float32),
                 pltpu.VMEM((tb, head_num), jnp.float32),
                 pltpu.VMEM((tb, hidden), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA(()),
             ],
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, hidden), x.dtype),
-            jax.ShapeDtypeStruct(cache.shape, cache.dtype),
+            jax.ShapeDtypeStruct((b, 2 * hidden), cache.dtype),
         ],
-        input_output_aliases={2: 1},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(
         pos.reshape(1).astype(jnp.int32),
@@ -330,5 +322,8 @@ def decoder_layer_step_v2(
         w_ff1,
         b_ff1.reshape(1, -1),
         jnp.stack([ln3[0], ln3[1]]),
+    )
+    new_cache = jax.lax.dynamic_update_slice(
+        cache, kv_slot[:, None, :], (0, pos, 0)
     )
     return out, new_cache

@@ -37,7 +37,6 @@ def _standardize_pallas(
     images: jnp.ndarray, out_dtype=jnp.bfloat16, interpret: bool = False
 ):
     from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = images.shape
     # fold W*C into the lane dimension; per-position channel pattern repeats

@@ -9,11 +9,9 @@ communication.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from p4fr_tpu.parallel.mesh import (

@@ -28,7 +28,6 @@ import optax
 from p4fr_tpu.data.augment import get_train_transforms, get_valid_transforms
 from p4fr_tpu.data.dataset import DistillationDataset, split_gt
 from p4fr_tpu.data.loader import DataLoader
-from p4fr_tpu.data.vocab import Vocab
 from p4fr_tpu.infer.single import load_model_from_checkpoint
 from p4fr_tpu.models.registry import get_network
 from p4fr_tpu.train import single_opt as so

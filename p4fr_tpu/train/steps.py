@@ -20,7 +20,7 @@ every intermediate); teacher-forced is one big MXU-friendly pass.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -1,4 +1,4 @@
-"""Fused Pallas decoder-layer kernel vs the jnp fast step (interpret mode)."""
+"""Fused Pallas decoder-layer kernels vs the jnp fast step (interpret mode)."""
 
 import jax
 import jax.numpy as jnp
@@ -9,6 +9,7 @@ from p4fr_tpu.decoding.fast_step import (
     fast_decode_step,
     init_fast_cache,
     pallas_decode_step,
+    pallas_decode_step_v2,
     precompute_cross_kv,
 )
 
@@ -37,6 +38,38 @@ def test_pallas_layer_step_matches_fast_step():
             l2, c2 = pallas_decode_step(
                 fast, token, jnp.asarray(t), cross, c2,
                 batch_tile=2, interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5
+            )
+            for a, b in zip(c1, c2):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+                )
+            token = jnp.argmax(l1, -1).astype(jnp.int32)
+
+
+def test_pallas_v2_flash_decode_matches_fast_step():
+    """v2: HBM cache + prefix-chunk DMA + online softmax + XLA slot DUS."""
+    for parity in (True, False):
+        model = tiny_satrn(parity=parity)
+        images = jnp.asarray(synth_images(B))
+        text = jnp.asarray(synth_labels(B, 8))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            images, text, train=False,
+        )
+        src = model.apply(variables, images, method="encode")
+        fast = build_fast_decoder(model, variables)
+        cross = precompute_cross_kv(fast, src)
+        c1 = init_fast_cache(fast, B, 8)
+        c2 = init_fast_cache(fast, B, 8)
+        token = jnp.zeros((B,), jnp.int32)
+        for t in range(6):
+            l1, c1 = fast_decode_step(fast, token, jnp.asarray(t), cross, c1)
+            l2, c2 = pallas_decode_step_v2(
+                fast, token, jnp.asarray(t), cross, c2,
+                batch_tile=2, chunk=4, interpret=True,
             )
             np.testing.assert_allclose(
                 np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5
