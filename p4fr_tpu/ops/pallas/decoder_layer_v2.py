@@ -23,8 +23,18 @@ Mechanics:
 - grid over batch tiles; weights in VMEM; matmuls on the MXU in f32.
 
 Numerics match ``fast_decode_step`` (softmax reassociation differences
-are ~1e-6 in f32; argmax-identical in bf16). Tested in interpret mode and
-on hardware in tests/test_pallas_decoder_layer.py.
+are ~1e-6 in f32; argmax-identical in bf16); parity-tested in interpret
+mode in tests/test_pallas_decoder_layer.py.
+
+STATUS: EXPERIMENTAL — on this environment's axon remote-compile service
+the Mosaic compile of this kernel at production dims (H=256, 4 chunks x
+8 heads unrolled, predicated DMA regions) takes >10 minutes for a single
+layer step, which makes it unusable in practice here even though the
+design removes v1's bandwidth flaws. Next iterations: collapse the
+per-head python unrolls into lane-parallel [TB, heads*CK] contractions
+to shrink the MLIR, or a fori_loop over chunks with ref-carried online
+softmax state. The jnp fast path (decoding/fast_step.py) remains the
+production decode.
 """
 
 from __future__ import annotations
