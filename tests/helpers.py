@@ -59,10 +59,11 @@ def make_synth_dataset(root, n=12, folds=2, height=48, width=96, seed=0):
         name = f"img_{i:03d}.png"
         arr = (rng.random((height, width, 3)) * 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(img_dir, name))
-        gt_lines.append(f"{name}\t{formulas[i % len(formulas)]}")
-        # fold must be independent of the formula class, otherwise the
-        # validation fold contains only classes the training never saw
-        info_lines.append(f"{name},{(i // len(formulas)) % folds}")
+        # class advances every `folds` items and fold cycles within each
+        # class, so folds and classes stay independent for ANY n (a fold
+        # confounded with class would starve train or val of whole classes)
+        gt_lines.append(f"{name}\t{formulas[(i // folds) % len(formulas)]}")
+        info_lines.append(f"{name},{i % folds}")
     with open(os.path.join(root, "gt.txt"), "w") as f:
         f.write("\n".join(gt_lines) + "\n")
     with open(os.path.join(root, "data_info.txt"), "w") as f:

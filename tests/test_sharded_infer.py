@@ -1,0 +1,32 @@
+"""Data-parallel inference sharding on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from p4fr_tpu.decoding.greedy import make_greedy_fn
+from p4fr_tpu.parallel.mesh import make_mesh, shard_batch
+from p4fr_tpu.parallel.sharding import make_sharded_infer_fn
+
+from helpers import synth_images, synth_labels, tiny_satrn
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_greedy_matches_single_device():
+    model = tiny_satrn()
+    B, T = 16, 6
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    decode = make_greedy_fn(model, max_steps=T, return_outputs=False)
+    want = np.asarray(jax.jit(decode)(variables, images))
+
+    mesh = make_mesh(8, 1)
+    fn = make_sharded_infer_fn(decode, mesh)
+    images_sharded = shard_batch(mesh, np.asarray(images))
+    got = np.asarray(fn(variables, images_sharded))
+    np.testing.assert_array_equal(want, got)
