@@ -41,6 +41,7 @@ def make_ensemble_decode_fn(
     *,
     max_steps: int,
     tables: Optional[dm.RuleTables] = None,
+    early_stop_eos: Optional[int] = None,
 ):
     """fn(variables_list, memories_list) -> tokens [B, T].
 
@@ -81,6 +82,29 @@ def make_ensemble_decode_fn(
                 target = jnp.argmax(mean, axis=-1).astype(jnp.int32)
             return (target, tuple(new_caches), mstate), target
 
+        if early_stop_eos is not None:
+            out_buf = jnp.full((batch, max_steps), early_stop_eos, jnp.int32)
+            done0 = jnp.zeros((batch,), bool)
+
+            def cond(c):
+                return (c[0] < max_steps) & ~jnp.all(c[4])
+
+            def wbody(c):
+                t, token, caches, mstate, done, buf = c
+                (token, caches, mstate), target = body(
+                    (token, caches, mstate), t
+                )
+                buf = buf.at[:, t].set(
+                    jnp.where(done, early_stop_eos, target)
+                )
+                done = done | (target == early_stop_eos)
+                return t + 1, token, caches, mstate, done, buf
+
+            carry = (jnp.asarray(0), token0, tuple(caches), mstate0, done0,
+                     out_buf)
+            *_, out_buf = jax.lax.while_loop(cond, wbody, carry)
+            return out_buf
+
         carry0 = (token0, tuple(caches), mstate0)
         _, tokens = jax.lax.scan(body, carry0, jnp.arange(max_steps))
         return tokens.T
@@ -97,6 +121,7 @@ def run_ensemble(
     max_sequence: int = 230,
     decoding_manager: bool = True,
     max_cache: int = 50,  # compat no-op
+    early_stop: bool = False,
 ) -> List[Tuple[str, str]]:
     del max_cache
     loaded = [load_model_from_checkpoint(p) for p in checkpoint_paths]
@@ -121,7 +146,10 @@ def run_ensemble(
     tables = dm.RuleTables.build(vocab) if decoding_manager else None
     num_steps = max_sequence + 1  # reference ensemble num_steps
     decode = jax.jit(
-        make_ensemble_decode_fn(models, max_steps=num_steps, tables=tables)
+        make_ensemble_decode_fn(
+            models, max_steps=num_steps, tables=tables,
+            early_stop_eos=vocab.eos_id if early_stop else None,
+        )
     )
     encoders = [
         jax.jit(
@@ -183,4 +211,5 @@ def main(parser):
         max_sequence=parser.max_sequence,
         decoding_manager=parser.decoding_manager,
         max_cache=parser.max_cache,
+        early_stop=getattr(parser, "early_stop", False),
     )
