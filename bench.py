@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -44,6 +45,15 @@ def main(argv=None):
 
     if args.quick:
         jax.config.update("jax_platforms", "cpu")
+    # persistent compilation cache: the 230-step decode program takes
+    # minutes to compile cold; repeat bench runs become seconds
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get("JAX_CACHE_DIR", "/tmp/p4fr_jax_cache"),
+        )
+    except Exception:
+        pass
 
     import jax.numpy as jnp
 
