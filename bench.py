@@ -41,19 +41,44 @@ def main(argv=None):
     parser.add_argument("--network", default="EfficientSATRN")
     args = parser.parse_args(argv)
 
+    # Probe TPU availability in a subprocess first: a dead axon tunnel
+    # makes jax device init hang indefinitely inside this process, which
+    # would stall the whole benchmark run. Fall back to a clearly-labeled
+    # CPU sanity run instead.
+    if not args.quick:
+        import subprocess
+
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, numpy as np, jax.numpy as jnp;"
+                 "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))"],
+                timeout=180,
+                capture_output=True,
+            )
+            ok = probe.returncode == 0
+        except Exception:
+            ok = False
+        if not ok:
+            print("# TPU unavailable (probe failed); falling back to "
+                  "--quick CPU sanity run", file=sys.stderr)
+            args.quick = True
+
     import jax
 
     if args.quick:
         jax.config.update("jax_platforms", "cpu")
     # persistent compilation cache: the 230-step decode program takes
-    # minutes to compile cold; repeat bench runs become seconds
-    try:
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.environ.get("JAX_CACHE_DIR", "/tmp/p4fr_jax_cache"),
-        )
-    except Exception:
-        pass
+    # minutes to compile cold; repeat bench runs become seconds. TPU only:
+    # CPU AOT cache entries are machine-feature-specific (SIGILL risk).
+    if not args.quick:
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_CACHE_DIR", "/tmp/p4fr_jax_cache"),
+            )
+        except Exception:
+            pass
 
     import jax.numpy as jnp
 
