@@ -288,10 +288,23 @@ class SwinTRN(nn.Module):
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     reference_parity: bool = True
+    # encoder architecture (defaults = Swin-B/384, the reference's
+    # swin_base_patch4_window12_384_22k; SWIN.py:1028-1034)
+    enc_embed_dim: int = 128
+    enc_depths: Sequence[int] = (2, 2, 18, 2)
+    enc_num_heads: Sequence[int] = (4, 8, 16, 32)
+    enc_window: int = 12
+    enc_drop_path_rate: float = 0.1
 
     def setup(self):
         self.encoder = SwinEncoder(
-            img_size=self.input_height, dtype=self.dtype
+            img_size=self.input_height,
+            embed_dim=self.enc_embed_dim,
+            depths=tuple(self.enc_depths),
+            num_heads=tuple(self.enc_num_heads),
+            window=self.enc_window,
+            drop_path_rate=self.enc_drop_path_rate,
+            dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(
             num_classes=self.num_classes,
@@ -340,7 +353,21 @@ class SwinTRN(nn.Module):
 def swin_from_options(options, num_classes, pad_id, sos_id, dtype=jnp.float32):
     tpu = options.get("tpu")
     parity = bool(tpu.get("reference_parity", True)) if tpu is not None else True
+    swin_cfg = options.get("SWIN")
+    enc_kwargs = {}
+    if swin_cfg is not None:
+        for yaml_key, field in (
+            ("embed_dim", "enc_embed_dim"), ("depths", "enc_depths"),
+            ("num_heads", "enc_num_heads"), ("window", "enc_window"),
+            ("drop_path_rate", "enc_drop_path_rate"),
+        ):
+            val = swin_cfg.get(yaml_key)
+            if val is not None:
+                enc_kwargs[field] = (
+                    tuple(val) if isinstance(val, (list, tuple)) else val
+                )
     return SwinTRN(
+        **enc_kwargs,
         num_classes=num_classes,
         pad_id=pad_id,
         sos_id=sos_id,

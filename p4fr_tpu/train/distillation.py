@@ -41,7 +41,11 @@ from p4fr_tpu.train.steps import (
 )
 from p4fr_tpu.utils import checkpoint as ckpt_io
 from p4fr_tpu.utils.flags import Flags
-from p4fr_tpu.utils.logging import ExperimentLogger, write_epoch_log
+from p4fr_tpu.utils.logging import (
+    ExperimentLogger,
+    write_epoch_log,
+    write_step_log,
+)
 from p4fr_tpu.utils.metrics import final_metric
 
 
@@ -202,11 +206,37 @@ def main(options_or_path, *, teacher_ckpt: str, max_label_len: int = 232,
         {"params": rng, "dropout": jax.random.PRNGKey(options.seed + 1)},
         init_images, init_text[:, :-1], train=False,
     )
+    if options.get("pretrained") is not None:
+        from p4fr_tpu.utils.convert_pth import bootstrap_pretrained
+
+        variables = bootstrap_pretrained(
+            variables, options.network, options.pretrained
+        )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    opt_state = optimizer.init(params)
+    start_epoch = 0
+
+    # resume from a student checkpoint (reference trainers all restore
+    # from options.checkpoint, train_single_opt.py:232-237)
+    if options.checkpoint:
+        from flax import serialization as ser
+
+        loaded = ckpt_io.load_checkpoint(options.checkpoint)
+        params = ser.from_state_dict(params, loaded["params"])
+        if loaded.get("batch_stats"):
+            batch_stats = ser.from_state_dict(batch_stats, loaded["batch_stats"])
+        if loaded.get("opt_state"):
+            opt_state = ckpt_io.restore_opt_state(opt_state, loaded["opt_state"])
+        start_epoch = int(loaded.get("epoch", 0))
+        if loaded.get("tf_scheduler"):
+            tf_scheduler.load_state_dict(loaded["tf_scheduler"])
+
     state = TrainState(
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", {}),
-        opt_state=optimizer.init(variables["params"]),
-        step=jnp.asarray(0, jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=opt_state,
+        step=jnp.asarray(start_epoch * len(train_loader), jnp.int32),
     )
     step_fn = make_distill_step(student, teacher, teacher_variables, optimizer)
     eval_step = make_eval_step(student, pad_id)
@@ -225,7 +255,7 @@ def main(options_or_path, *, teacher_ckpt: str, max_label_len: int = 232,
     py_rng = random.Random(options.seed)
     tf_ratio = options.teacher_forcing_ratio.tf_max
 
-    for epoch in range(options.num_epochs):
+    for epoch in range(start_epoch, options.num_epochs):
         agg = dict(loss=0.0, wer=0.0, num_wer=0, sent_acc=0.0, num_sent=0,
                    correct=0, total=0, batches=0)
         for batch in train_loader:
@@ -244,6 +274,11 @@ def main(options_or_path, *, teacher_ckpt: str, max_label_len: int = 232,
             )
             wer, acc, correct, total = so._batch_metrics(
                 sequences, text, train_dataset, pad_id
+            )
+            step_idx = int(state.step) - 1
+            write_step_log(
+                logger, step_idx, float(jnp.asarray(schedule(step_idx))),
+                tf_ratio, loss=float(metrics["loss"]),
             )
             agg["loss"] += float(metrics["loss"]); agg["batches"] += 1
             agg["wer"] += wer; agg["num_wer"] += 1
@@ -272,7 +307,8 @@ def main(options_or_path, *, teacher_ckpt: str, max_label_len: int = 232,
             vagg["correct"] += correct; vagg["total"] += total
         valid_metrics = so.run_epoch_metrics(vagg)
 
-        write_epoch_log(logger, epoch, train_metrics, valid_metrics, 0.0, tf_ratio)
+        lr_now = float(jnp.asarray(schedule(state.step)))
+        write_epoch_log(logger, epoch, train_metrics, valid_metrics, lr_now, tf_ratio)
         score = final_metric(
             valid_metrics["sentence_accuracy"], valid_metrics["wer"]
         )

@@ -36,8 +36,31 @@ from p4fr_tpu.train.schedules import (
 from p4fr_tpu.train.steps import TrainState, make_eval_step, make_train_step
 from p4fr_tpu.utils import checkpoint as ckpt_io
 from p4fr_tpu.utils.flags import Flags
-from p4fr_tpu.utils.logging import ExperimentLogger, write_epoch_log
+from p4fr_tpu.utils.logging import (
+    ExperimentLogger,
+    write_epoch_log,
+    write_step_log,
+)
 from p4fr_tpu.utils.metrics import final_metric
+
+
+def dual_schedules(
+    enc_lr: float,
+    dec_lr: float,
+    total_steps: int,
+    *,
+    warmup_ratio: float = 0.1,
+    cycles: int = 1,
+):
+    """(enc, dec) LR schedules — shared by the optimizer and the logger."""
+    t_0 = max(1, total_steps // max(1, cycles))
+    warmup = int(t_0 * warmup_ratio)
+    enc_sched = cosine_warmup_restarts(
+        enc_lr, total_steps, warmup_ratio=warmup_ratio, gamma=0.8,
+        cycles=cycles,
+    )
+    dec_sched = constant_with_warmup(dec_lr, warmup)
+    return enc_sched, dec_sched
 
 
 def build_dual_optimizer(
@@ -49,13 +72,9 @@ def build_dual_optimizer(
     cycles: int = 1,
     max_grad_norm: Optional[float] = None,
 ) -> optax.GradientTransformation:
-    t_0 = max(1, total_steps // max(1, cycles))
-    warmup = int(t_0 * warmup_ratio)
-    enc_sched = cosine_warmup_restarts(
-        enc_lr, total_steps, warmup_ratio=warmup_ratio, gamma=0.8,
-        cycles=cycles,
+    enc_sched, dec_sched = dual_schedules(
+        enc_lr, dec_lr, total_steps, warmup_ratio=warmup_ratio, cycles=cycles
     )
-    dec_sched = constant_with_warmup(dec_lr, warmup)
 
     def group(schedule):
         chain = [optax.adam(schedule)]
@@ -104,6 +123,13 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
         cycles=options.scheduler.get("cycle", 1),
         max_grad_norm=options.max_grad_norm,
     )
+    enc_sched, dec_sched = dual_schedules(
+        options.optimizer.enc_lr,
+        options.optimizer.dec_lr,
+        total_steps,
+        warmup_ratio=options.scheduler.warmup_ratio,
+        cycles=options.scheduler.get("cycle", 1),
+    )
     tf_scheduler = TeacherForcingScheduler(
         total_steps,
         options.teacher_forcing_ratio.tf_max,
@@ -121,6 +147,12 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
         {"params": rng, "dropout": jax.random.PRNGKey(options.seed + 1)},
         init_images, init_text[:, :-1], train=False,
     )
+    if options.get("pretrained") is not None:
+        from p4fr_tpu.utils.convert_pth import bootstrap_pretrained
+
+        variables = bootstrap_pretrained(
+            variables, options.network, options.pretrained
+        )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)
@@ -158,8 +190,17 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
 
     best_metric = -1.0
     py_rng = random.Random(options.seed)
-    histories: Dict = {k: [] for k in ckpt_io.default_checkpoint if k.endswith(
-        ("losses", "accuracy", "wer"))}
+    histories: Dict = {
+        k: [] for k in (
+            "train_losses", "train_symbol_accuracy", "train_sentence_accuracy",
+            "train_wer", "validation_losses", "validation_symbol_accuracy",
+            "validation_sentence_accuracy", "validation_wer", "lr",
+        )
+    }
+    if options.checkpoint:
+        for k in histories:
+            if loaded.get(k):
+                histories[k] = list(loaded[k])
     tf_ratio = options.teacher_forcing_ratio.tf_max
 
     for epoch in range(start_epoch, options.num_epochs):
@@ -179,6 +220,13 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
             )
             wer, acc, correct, total = so._batch_metrics(
                 sequences, text, train_dataset, pad_id
+            )
+            step_idx = int(state.step) - 1
+            write_step_log(
+                logger, step_idx,
+                float(jnp.asarray(enc_sched(step_idx))), tf_ratio,
+                loss=float(metrics["loss"]),
+                extra={"dec_learning_rate": float(jnp.asarray(dec_sched(step_idx)))},
             )
             agg["loss"] += float(metrics["loss"]); agg["batches"] += 1
             agg["wer"] += wer; agg["num_wer"] += 1
@@ -207,7 +255,24 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
             vagg["correct"] += correct; vagg["total"] += total
         valid_metrics = so.run_epoch_metrics(vagg)
 
-        write_epoch_log(logger, epoch, train_metrics, valid_metrics, 0.0, tf_ratio)
+        enc_lr_now = float(jnp.asarray(enc_sched(state.step)))
+        dec_lr_now = float(jnp.asarray(dec_sched(state.step)))
+        for key, val in (
+            ("train_losses", train_metrics["loss"]),
+            ("train_symbol_accuracy", train_metrics["symbol_accuracy"]),
+            ("train_sentence_accuracy", train_metrics["sentence_accuracy"]),
+            ("train_wer", train_metrics["wer"]),
+            ("validation_losses", valid_metrics["loss"]),
+            ("validation_symbol_accuracy", valid_metrics["symbol_accuracy"]),
+            ("validation_sentence_accuracy", valid_metrics["sentence_accuracy"]),
+            ("validation_wer", valid_metrics["wer"]),
+            ("lr", enc_lr_now),
+        ):
+            histories[key].append(val)
+        write_epoch_log(
+            logger, epoch, train_metrics, valid_metrics, enc_lr_now, tf_ratio,
+            extra={"dec_learning_rate": dec_lr_now},
+        )
         score = final_metric(
             valid_metrics["sentence_accuracy"], valid_metrics["wer"]
         )
@@ -222,6 +287,7 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
                 configs=options.to_dict(),
                 token_to_id=vocab.token_to_id,
                 id_to_token=vocab.id_to_token,
+                histories=histories,
                 tf_scheduler=tf_scheduler.state_dict(),
             )
             path = ckpt_io.save_checkpoint(ckpt, prefix=options.prefix)

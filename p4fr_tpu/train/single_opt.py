@@ -44,7 +44,11 @@ from p4fr_tpu.train.steps import (
 )
 from p4fr_tpu.utils import checkpoint as ckpt_io
 from p4fr_tpu.utils.flags import Flags
-from p4fr_tpu.utils.logging import ExperimentLogger, write_epoch_log
+from p4fr_tpu.utils.logging import (
+    ExperimentLogger,
+    write_epoch_log,
+    write_step_log,
+)
 from p4fr_tpu.utils.metrics import (
     final_metric,
     sentence_acc,
@@ -163,6 +167,14 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
         init_text[:, :-1],
         train=False,
     )
+    # offline pretrained-backbone bootstrap (reference loads timm/hub
+    # weights at model construction; see convert_pth.bootstrap_pretrained)
+    if options.get("pretrained") is not None:
+        from p4fr_tpu.utils.convert_pth import bootstrap_pretrained
+
+        variables = bootstrap_pretrained(
+            variables, options.network, options.pretrained
+        )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     opt_state = optimizer.init(params)
@@ -233,6 +245,11 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
             )
             wer, acc, correct, total = _batch_metrics(
                 sequences, text, train_dataset, pad_id
+            )
+            step_idx = int(state.step) - 1  # step used for this update
+            write_step_log(
+                logger, step_idx, float(jnp.asarray(schedule(step_idx))),
+                tf_ratio, loss=float(metrics["loss"]),
             )
             agg["loss"] += float(metrics["loss"])
             agg["grad_norm"] += float(metrics["grad_norm"])

@@ -321,6 +321,254 @@ def convert_state_dict(
     return params, batch_stats, unmatched
 
 
+# ---------------------------------------------------------------------------
+# raw pretrained-backbone importers (training-from-scratch bootstrap)
+#
+# The reference initializes its backbones from public torch weights at
+# construction time: timm's tf_efficientnetv2_s_in21ft1k blocks
+# (reference: networks/EfficientSATRN.py:63-87) and the Microsoft
+# swin_base_patch4_window12_384_22k.pth hub file (networks/SWIN.py:1028-1034).
+# This environment has no network access, so the equivalent path is:
+# download the file offline, then convert it here and graft it into a
+# freshly-initialized model's variables before training.
+# ---------------------------------------------------------------------------
+
+
+def _load_torch_state_dict(src) -> Dict[str, Any]:
+    """Accept a path, a state_dict, or a wrapped checkpoint dict."""
+    if isinstance(src, str):
+        import torch
+
+        src = torch.load(src, map_location="cpu", weights_only=False)
+    if hasattr(src, "state_dict"):
+        src = src.state_dict()
+    # hub checkpoints nest the weights under 'model' or 'state_dict'
+    for key in ("model", "state_dict"):
+        if key in src and isinstance(src[key], dict) and any(
+            hasattr(v, "shape") or isinstance(v, np.ndarray)
+            for v in src[key].values()
+        ):
+            src = src[key]
+            break
+    return src
+
+
+def _apply_rules(
+    state_dict: Dict[str, Any], rules: List[Rule]
+) -> Tuple[Dict, Dict, List[str]]:
+    compiled = [(re.compile(p), r, t, c) for p, r, t, c in rules]
+    params: Dict = {}
+    batch_stats: Dict = {}
+    unmatched: List[str] = []
+    for key, value in state_dict.items():
+        arr = np.asarray(
+            value.detach().cpu().numpy() if hasattr(value, "detach") else value
+        )
+        for pat, repl, transform, coll in compiled:
+            m = pat.match(key)
+            if m:
+                if coll == "drop":
+                    break
+                path = pat.sub(repl, key)
+                if coll == "params":
+                    _set_path(params, path, transform(arr))
+                else:
+                    _set_path(batch_stats, path, transform(arr))
+                break
+        else:
+            unmatched.append(key)
+    return params, batch_stats, unmatched
+
+
+def timm_efficientnetv2_rules() -> List[Rule]:
+    """Raw timm ``tf_efficientnetv2_s*`` state_dict -> our
+    ``EfficientNetV2Blocks`` tree. The reference keeps only ``m.blocks``
+    and discards timm's stem/head/classifier (EfficientSATRN.py:66-80)."""
+    rules = _efficientnet_rules(r"blocks", "")
+    # strip the leading "/" the empty flax_root leaves behind
+    rules = [(p, r.lstrip("/"), t, c) for p, r, t, c in rules]
+    rules += [
+        (r"conv_stem\..*$", "", _identity, "drop"),
+        (r"bn1\..*$", "", _identity, "drop"),
+        (r"conv_head\..*$", "", _identity, "drop"),
+        (r"bn2\..*$", "", _identity, "drop"),
+        (r"classifier\..*$", "", _identity, "drop"),
+    ]
+    return rules
+
+
+def convert_timm_efficientnetv2(src, *, strict: bool = True):
+    """timm EfficientNetV2-S weights -> (params, batch_stats) for
+    ``EfficientNetV2Blocks`` (the ``blocks`` submodule of our backbones).
+
+    ``src``: path to a .pth/.bin file, a torch module, or a state_dict.
+    """
+    state_dict = _load_torch_state_dict(src)
+    params, batch_stats, unmatched = _apply_rules(
+        state_dict, timm_efficientnetv2_rules()
+    )
+    if unmatched and strict:
+        raise ValueError(
+            f"[convert_timm_efficientnetv2] {len(unmatched)} unmatched keys: "
+            f"{unmatched[:8]}..."
+        )
+    return params, batch_stats, unmatched
+
+
+def swin_hub_rules() -> List[Rule]:
+    """Official ``swin_base_patch4_window12_384_22k.pth`` state_dict
+    (keys unprefixed: patch_embed.*, layers.*) -> our SwinEncoder tree."""
+    rules: List[Rule] = []
+    rules += _conv_rules(r"patch_embed\.proj", "patch_embed")
+    rules += _ln_rules(r"patch_embed\.norm", "patch_norm")
+    blk = r"layers\.(\d+)\.blocks\.(\d+)"
+    fb = r"stage\1_block\2"
+    rules += _ln_rules(rf"{blk}\.norm1", rf"{fb}/norm1")
+    rules += _linear_rules(rf"{blk}\.attn\.qkv", rf"{fb}/attn/qkv")
+    rules += _linear_rules(rf"{blk}\.attn\.proj", rf"{fb}/attn/proj")
+    rules += [
+        (rf"{blk}\.attn\.relative_position_bias_table$",
+         rf"{fb}/attn/relative_position_bias_table", _identity, "params"),
+        (rf"{blk}\.attn\.relative_position_index$", "", _identity, "drop"),
+        (rf"{blk}\.attn_mask$", "", _identity, "drop"),
+    ]
+    rules += _ln_rules(rf"{blk}\.norm2", rf"{fb}/norm2")
+    rules += _linear_rules(rf"{blk}\.mlp\.fc1", rf"{fb}/mlp_fc1")
+    rules += _linear_rules(rf"{blk}\.mlp\.fc2", rf"{fb}/mlp_fc2")
+    ds = r"layers\.(\d+)\.downsample"
+    rules += _ln_rules(rf"{ds}\.norm", r"stage\1_merge/norm")
+    rules += [
+        (rf"{ds}\.reduction\.weight$", r"stage\1_merge/reduction/kernel",
+         _t_linear, "params"),
+    ]
+    rules += _ln_rules(r"norm", "norm")
+    rules += [
+        (r"head\..*$", "", _identity, "drop"),
+        (r"absolute_pos_embed$", "", _identity, "drop"),
+        (r"avgpool.*$", "", _identity, "drop"),
+    ]
+    return rules
+
+
+def convert_swin_hub(src, *, strict: bool = True):
+    """Microsoft Swin hub weights -> (params, batch_stats) for our
+    ``SwinEncoder`` (batch_stats always empty — Swin has no BN)."""
+    state_dict = _load_torch_state_dict(src)
+    params, batch_stats, unmatched = _apply_rules(state_dict, swin_hub_rules())
+    if unmatched and strict:
+        raise ValueError(
+            f"[convert_swin_hub] {len(unmatched)} unmatched keys: "
+            f"{unmatched[:8]}..."
+        )
+    return params, batch_stats, unmatched
+
+
+def graft_backbone(variables, params: Dict, batch_stats: Dict, path):
+    """Replace the subtree of ``variables`` at ``path`` (a tuple of keys,
+    e.g. ``("encoder", "efficientnet", "blocks")``) with converted
+    pretrained weights, checking every leaf shape.
+
+    Returns a new plain-dict variables tree; raises on missing keys or
+    shape mismatches so drift fails loudly at graft time, not mid-train.
+    """
+    import jax
+
+    def replace(tree, coll_new, coll_name):
+        node = tree
+        for p in path[:-1]:
+            if p not in node:
+                raise KeyError(
+                    f"[graft_backbone] {coll_name}: no {'/'.join(path)} "
+                    f"in model variables (missing {p!r})"
+                )
+            node = node[p]
+        old = node.get(path[-1])
+        if old is None:
+            raise KeyError(f"[graft_backbone] {coll_name}: missing {path[-1]!r}")
+        old_leaves = {
+            "/".join(k.key for k in kp): v.shape
+            for kp, v in jax.tree_util.tree_flatten_with_path(old)[0]
+        }
+        new_leaves = {
+            "/".join(k.key for k in kp): v.shape
+            for kp, v in jax.tree_util.tree_flatten_with_path(coll_new)[0]
+        }
+        if old_leaves != new_leaves:
+            missing = sorted(set(old_leaves) - set(new_leaves))[:5]
+            extra = sorted(set(new_leaves) - set(old_leaves))[:5]
+            shapes = [
+                f"{k}: {old_leaves[k]} != {new_leaves[k]}"
+                for k in old_leaves
+                if k in new_leaves and old_leaves[k] != new_leaves[k]
+            ][:5]
+            raise ValueError(
+                f"[graft_backbone] {coll_name} mismatch at {'/'.join(path)}: "
+                f"missing={missing} extra={extra} shapes={shapes}"
+            )
+        node[path[-1]] = coll_new
+
+    variables = jax.tree_util.tree_map(lambda x: x, dict(variables))  # deep-ish copy
+    variables["params"] = _to_plain_dict(variables["params"])
+    replace(variables["params"], params, "params")
+    if batch_stats:
+        variables["batch_stats"] = _to_plain_dict(
+            variables.get("batch_stats", {})
+        )
+        replace(variables["batch_stats"], batch_stats, "batch_stats")
+    return variables
+
+
+def _to_plain_dict(tree):
+    if isinstance(tree, dict):
+        return {k: _to_plain_dict(v) for k, v in tree.items()}
+    if hasattr(tree, "items"):  # FrozenDict
+        return {k: _to_plain_dict(v) for k, v in tree.items()}
+    return tree
+
+
+# graft location of each family's pretrained backbone inside the model
+# variables tree
+_BACKBONE_PATHS = {
+    "EfficientSATRN": ("encoder", "efficientnet", "blocks"),
+    "MySATRN": ("encoder", "efficientnet", "blocks"),
+    "EfficientASTER": ("encoder", "cnn", "blocks"),
+    "ASTER": ("encoder", "cnn", "blocks"),
+    "SWIN": ("encoder",),
+    "SwinTRN": ("encoder",),
+}
+
+
+def bootstrap_pretrained(variables, network: str, pretrained_cfg) -> Dict:
+    """Training-from-scratch bootstrap: graft offline-downloaded public
+    weights into freshly-initialized model variables.
+
+    ``pretrained_cfg``: dict-like with optional keys
+
+    - ``efficientnetv2``: path to a raw timm tf_efficientnetv2_s .pth/.bin
+      (reference downloads it at construction, EfficientSATRN.py:63-87)
+    - ``swin``: path to swin_base_patch4_window12_384_22k.pth
+      (reference: SWIN.py:1028-1034)
+
+    Returns (possibly new) variables; no-op when no path applies.
+    """
+    get = (pretrained_cfg.get if hasattr(pretrained_cfg, "get")
+           else lambda k, d=None: d)
+    path = _BACKBONE_PATHS.get(network)
+    if path is None:
+        return variables
+    if network in ("SWIN", "SwinTRN"):
+        src = get("swin")
+        if not src:
+            return variables
+        params, stats, _ = convert_swin_hub(src)
+    else:
+        src = get("efficientnetv2")
+        if not src:
+            return variables
+        params, stats, _ = convert_timm_efficientnetv2(src)
+    return graft_backbone(dict(variables), params, stats, path)
+
+
 def convert_pth(pth_path: str, out_path: str, *, strict: bool = True) -> str:
     """Full checkpoint conversion incl. configs/vocab/epoch."""
     import torch

@@ -47,6 +47,34 @@ class ExperimentLogger:
                 pass
 
 
+def write_step_log(
+    logger: ExperimentLogger,
+    step: int,
+    lr: float,
+    tf_ratio: float,
+    loss: Optional[float] = None,
+    extra: Optional[Dict[str, Any]] = None,
+) -> None:
+    """Per-step LR / teacher-forcing-ratio record.
+
+    The reference logs these to W&B inside the train loop
+    (reference: train_modules/train_single_opt.py:115-125); here every
+    step also lands in metrics.jsonl with ``"record": "step"`` so the
+    trace survives without W&B.
+    """
+    record: Dict[str, Any] = {
+        "record": "step",
+        "step": step,
+        "learning_rate": lr,
+        "tf_ratio": tf_ratio,
+    }
+    if loss is not None:
+        record["loss"] = loss
+    if extra:
+        record.update(extra)
+    logger.metrics(record)
+
+
 def write_epoch_log(
     logger: ExperimentLogger,
     epoch: int,
@@ -54,6 +82,7 @@ def write_epoch_log(
     valid: Dict[str, float],
     lr: float,
     tf_ratio: float,
+    extra: Optional[Dict[str, Any]] = None,
 ) -> None:
     """Epoch summary in the reference's write_wandb field layout."""
     record = {
@@ -69,6 +98,8 @@ def write_epoch_log(
         "learning_rate": lr,
         "tf_ratio": tf_ratio,
     }
+    if extra:
+        record.update(extra)
     logger.metrics(record)
     logger.text(
         f"epoch {epoch}: train loss {train.get('loss'):.4f} "

@@ -51,6 +51,89 @@ def test_beam_width_3_runs_and_scores_sane():
     np.testing.assert_array_equal(out, out2)
 
 
+def _tiny_aster():
+    from p4fr_tpu.models.aster import ASTER
+
+    model = ASTER(
+        num_classes=245, pad_id=2, sos_id=0,
+        src_dim=48, hidden_dim=48, embedding_dim=48, layer_num=2,
+    )
+    images = jnp.asarray(np.random.default_rng(3).normal(
+        size=(B, 64, 256, 3)).astype(np.float32))
+    text = jnp.zeros((B, T + 1), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    return model, variables, images
+
+
+def test_aster_beam_width_1_equals_greedy():
+    """BASELINE config #3: EfficientASTER greedy + beam. The unified
+    contract routes the tuple-of-(h, c) cache through the parent-beam
+    gather (reference per-model beam: networks/EfficientASTER.py:368-519)."""
+    model, variables, images = _tiny_aster()
+    greedy = jax.jit(
+        make_greedy_fn(model, max_steps=T, return_outputs=False)
+    )
+    beam = jax.jit(
+        make_beam_fn(model, max_steps=T, beam_width=1, eos_id=1)
+    )
+    g = np.asarray(greedy(variables, images))
+    b = np.asarray(beam(variables, images))
+    np.testing.assert_array_equal(g, b)
+
+
+def test_aster_beam_width_3_freezes_finished():
+    model, variables, images = _tiny_aster()
+    beam = jax.jit(
+        make_beam_fn(model, max_steps=T, beam_width=3, eos_id=1)
+    )
+    out = np.asarray(beam(variables, images))
+    assert out.shape == (B, T)
+    assert (out >= 0).all() and (out < 245).all()
+    for row in out:
+        if 1 in row.tolist():
+            k = row.tolist().index(1)
+            assert all(t == 2 for t in row[k + 1:]), row
+
+
+def test_swin_beam_width_1_equals_greedy():
+    """SwinTRN shares the transformer decoder; beam must work through the
+    packed KV cache exactly as for SATRN."""
+    from p4fr_tpu.models.swin import SwinTRN
+
+    model = SwinTRN(
+        num_classes=245, pad_id=2, sos_id=0,
+        input_height=16, input_width=16,
+        dec_src_dim=16, dec_hidden_dim=32, dec_filter_dim=64,
+        dec_layer_num=1, dec_head_num=4,
+        enc_embed_dim=8, enc_depths=(1, 2), enc_num_heads=(2, 4),
+        enc_window=2,
+    )
+    images = jnp.asarray(np.random.default_rng(4).normal(
+        size=(B, 16, 16, 3)).astype(np.float32))
+    text = jnp.zeros((B, T + 1), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    greedy = jax.jit(
+        make_greedy_fn(model, max_steps=T, return_outputs=False)
+    )
+    beam = jax.jit(
+        make_beam_fn(model, max_steps=T, beam_width=1, eos_id=1)
+    )
+    g = np.asarray(greedy(variables, images))
+    b = np.asarray(beam(variables, images))
+    np.testing.assert_array_equal(g, b)
+    wide = jax.jit(
+        make_beam_fn(model, max_steps=T, beam_width=3, eos_id=1)
+    )
+    out = np.asarray(wide(variables, images))
+    assert out.shape == (B, T)
+
+
 def test_beam_pads_after_eos():
     """Once a hypothesis emits <EOS>, the continuation must be <PAD>."""
     model, variables, images = _setup()

@@ -39,6 +39,8 @@ def test_kd_loss_matches_torch_semantics():
 
 
 def test_dual_opt_end_to_end(tmp_path, tokens_path):
+    import json
+
     from p4fr_tpu.train import dual_opt
 
     gt = make_synth_dataset(str(tmp_path), n=6, folds=2)
@@ -48,6 +50,18 @@ def test_dual_opt_end_to_end(tmp_path, tokens_path):
     assert os.path.exists(
         os.path.join(options.prefix, "checkpoints", "LiteSATRN_best_model.ckpt")
     )
+    # per-step records carry both real LRs (not 0.0), epoch records too
+    records = [
+        json.loads(line)
+        for line in open(os.path.join(options.prefix, "logs", "metrics.jsonl"))
+    ]
+    steps = [r for r in records if r.get("record") == "step"]
+    epochs = [r for r in records if "epoch" in r]
+    assert steps and epochs
+    assert all("learning_rate" in r and "dec_learning_rate" in r for r in steps)
+    assert any(r["learning_rate"] > 0.0 for r in steps)
+    assert epochs[-1]["learning_rate"] > 0.0
+    assert epochs[-1]["dec_learning_rate"] > 0.0
 
 
 def test_distillation_end_to_end(tmp_path, tokens_path):
@@ -66,8 +80,30 @@ def test_distillation_end_to_end(tmp_path, tokens_path):
         student_options, teacher_ckpt=teacher_ckpt, max_label_len=12
     )
     assert np.isfinite(result["best_metric"])
-    assert os.path.exists(
-        os.path.join(
-            student_options.prefix, "checkpoints", "LiteSATRN_best_model.ckpt"
-        )
+    student_ckpt = os.path.join(
+        student_options.prefix, "checkpoints", "LiteSATRN_best_model.ckpt"
     )
+    assert os.path.exists(student_ckpt)
+
+    # resume: restart distillation from the student checkpoint for one
+    # more epoch (reference trainers all restore from options.checkpoint)
+    resume_options = tiny_train_options(gt, tokens_path, epochs=2, batch_size=2)
+    resume_options.prefix = str(tmp_path / "student_resume")
+    resume_options.checkpoint = student_ckpt
+    result2 = distillation.main(
+        resume_options, teacher_ckpt=teacher_ckpt, max_label_len=12
+    )
+    assert np.isfinite(result2["best_metric"])
+    # started at epoch 1: exactly one more epoch of step records
+    import json
+
+    records = [
+        json.loads(line)
+        for line in open(
+            os.path.join(resume_options.prefix, "logs", "metrics.jsonl")
+        )
+    ]
+    epochs = [r for r in records if "epoch" in r]
+    assert [r["epoch"] for r in epochs] == [1]
+    steps = [r for r in records if r.get("record") == "step"]
+    assert steps and all("tf_ratio" in r for r in steps)
