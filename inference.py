@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="exit the decode loop once every sequence emits <EOS> "
         "(output-equivalent; the reference always runs all steps)",
     )
+    parser.add_argument(
+        "--data_parallel", type=str2bool, default=False,
+        help="shard each batch over every visible device "
+        "(jax.sharding data-parallel mesh); batch_size must divide evenly",
+    )
     parser.add_argument("--file_path", required=True, help="input.txt TSV")
     parser.add_argument("--output_dir", default="./outputs")
     return parser

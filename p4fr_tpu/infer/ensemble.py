@@ -122,6 +122,7 @@ def run_ensemble(
     decoding_manager: bool = True,
     max_cache: int = 50,  # compat no-op
     early_stop: bool = False,
+    mesh=None,
 ) -> List[Tuple[str, str]]:
     del max_cache
     loaded = [load_model_from_checkpoint(p) for p in checkpoint_paths]
@@ -145,18 +146,36 @@ def run_ensemble(
 
     tables = dm.RuleTables.build(vocab) if decoding_manager else None
     num_steps = max_sequence + 1  # reference ensemble num_steps
-    decode = jax.jit(
-        make_ensemble_decode_fn(
-            models, max_steps=num_steps, tables=tables,
-            early_stop_eos=vocab.eos_id if early_stop else None,
-        )
+    decode_fn = make_ensemble_decode_fn(
+        models, max_steps=num_steps, tables=tables,
+        early_stop_eos=vocab.eos_id if early_stop else None,
     )
-    encoders = [
-        jax.jit(
-            lambda v, im, m=model: m.apply(v, im, method="encode")
+    if mesh is not None:
+        # DP ensemble (BASELINE north star): every model replicates, the
+        # image batch and all per-model encoder memories shard over `data`.
+        from p4fr_tpu.parallel.mesh import batch_sharding, replicated
+
+        batch_sh = batch_sharding(mesh)
+        repl = replicated(mesh)
+        decode = jax.jit(
+            decode_fn, in_shardings=(repl, batch_sh), out_shardings=batch_sh
         )
-        for model in models
-    ]
+        encoders = [
+            jax.jit(
+                lambda v, im, m=model: m.apply(v, im, method="encode"),
+                in_shardings=(repl, batch_sh),
+                out_shardings=batch_sh,
+            )
+            for model in models
+        ]
+    else:
+        decode = jax.jit(decode_fn)
+        encoders = [
+            jax.jit(
+                lambda v, im, m=model: m.apply(v, im, method="encode")
+            )
+            for model in models
+        ]
 
     results: List[Tuple[str, str]] = []
     start = time.perf_counter()
@@ -203,6 +222,11 @@ def run_ensemble(
 
 
 def main(parser):
+    mesh = None
+    if getattr(parser, "data_parallel", False):
+        from p4fr_tpu.infer.single import default_mesh
+
+        mesh = default_mesh(parser.batch_size)
     return run_ensemble(
         parser.checkpoint,
         parser.file_path,
@@ -212,4 +236,5 @@ def main(parser):
         decoding_manager=parser.decoding_manager,
         max_cache=parser.max_cache,
         early_stop=getattr(parser, "early_stop", False),
+        mesh=mesh,
     )

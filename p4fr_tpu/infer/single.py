@@ -169,11 +169,30 @@ def run_inference(
     return results
 
 
+def default_mesh(batch_size: int):
+    """All-device data-parallel mesh for the CLIs (BASELINE north star:
+    DP inference over a v5e-8). Validates batch divisibility up front."""
+    from p4fr_tpu.parallel.mesh import make_mesh
+
+    n = len(jax.devices())
+    if batch_size % n != 0:
+        raise ValueError(
+            f"--data_parallel: batch_size {batch_size} must be divisible "
+            f"by the {n} visible devices"
+        )
+    return make_mesh(n_data=n, n_model=1)
+
+
 def main(parser):
     """CLI-args entry, reference inference_single.main parity."""
     ckpts = parser.checkpoint
     if isinstance(ckpts, (list, tuple)):
         ckpts = ckpts[0]
+    mesh = (
+        default_mesh(parser.batch_size)
+        if getattr(parser, "data_parallel", False)
+        else None
+    )
     return run_inference(
         ckpts,
         parser.file_path,
@@ -185,4 +204,5 @@ def main(parser):
         decoding_manager=parser.decoding_manager,
         tokens_path=parser.tokens_path,
         early_stop=getattr(parser, "early_stop", False),
+        mesh=mesh,
     )

@@ -48,6 +48,20 @@ def test_ensemble_cli_two_models(tmp_path, tokens_path):
     lines = (out_dir / "output.csv").read_text().splitlines()
     assert len(lines) == len(names)
 
+    # DP ensemble over the virtual 8-device mesh: same predictions
+    dp_results = infer_cli.main(
+        [
+            "--inference_type", "ensemble",
+            "--checkpoint", *ckpts,
+            "--file_path", str(inp),
+            "--output_dir", str(tmp_path / "out_dp"),
+            "--max_sequence", "6",
+            "--batch_size", "8",
+            "--data_parallel", "true",
+        ]
+    )
+    assert dict(dp_results) == dict(results)
+
 
 def test_aster_beam_decode():
     """Beam search must work for the LSTM family too (reference parity:

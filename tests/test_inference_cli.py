@@ -38,3 +38,26 @@ def test_train_then_infer_cli(tmp_path, tokens_path):
     lines = (out_dir / "output.csv").read_text().splitlines()
     assert len(lines) == len(names)
     assert all("\t" in line for line in lines)
+
+    # --data_parallel: same predictions through the 8-device CPU mesh
+    # (CPU f32 is exact, so outputs must match bit-for-bit)
+    dp_dir = tmp_path / "out_dp"
+    dp_results = infer_cli.main(
+        [
+            "--inference_type", "single",
+            "--checkpoint", ckpt,
+            "--file_path", str(inp),
+            "--output_dir", str(dp_dir),
+            "--max_sequence", "6",
+            "--batch_size", "8",
+            "--data_parallel", "true",
+        ]
+    )
+    assert dict(dp_results) == dict(results)
+
+
+def test_data_parallel_rejects_indivisible_batch(tmp_path, tokens_path):
+    from p4fr_tpu.infer.single import default_mesh
+
+    with pytest.raises(ValueError, match="divisible"):
+        default_mesh(3)

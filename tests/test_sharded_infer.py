@@ -30,3 +30,38 @@ def test_sharded_greedy_matches_single_device():
     images_sharded = shard_batch(mesh, np.asarray(images))
     got = np.asarray(fn(variables, images_sharded))
     np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_ensemble_matches_single_device():
+    """DP ensemble (BASELINE north star): joint decode over the data axis
+    must reproduce the single-device ensemble exactly (CPU f32)."""
+    from p4fr_tpu.infer.ensemble import make_ensemble_decode_fn
+    from p4fr_tpu.parallel.mesh import batch_sharding, replicated
+
+    B, T = 16, 6
+    models, variables_list, memories = [], [], []
+    images = jnp.asarray(synth_images(B))
+    for seed in (0, 1):
+        model = tiny_satrn()
+        v = model.init(
+            {"params": jax.random.PRNGKey(seed),
+             "dropout": jax.random.PRNGKey(seed + 10)},
+            images, jnp.asarray(synth_labels(B, 8)), train=False,
+        )
+        models.append(model)
+        variables_list.append(v)
+        memories.append(model.apply(v, images, method="encode"))
+
+    decode = make_ensemble_decode_fn(models, max_steps=T)
+    want = np.asarray(jax.jit(decode)(variables_list, memories))
+
+    mesh = make_mesh(8, 1)
+    sharded = jax.jit(
+        decode,
+        in_shardings=(replicated(mesh), batch_sharding(mesh)),
+        out_shardings=batch_sharding(mesh),
+    )
+    mem_sharded = [shard_batch(mesh, np.asarray(m)) for m in memories]
+    got = np.asarray(sharded(variables_list, mem_sharded))
+    np.testing.assert_array_equal(want, got)
