@@ -43,22 +43,40 @@ def main(argv=None):
 
     # Probe TPU availability in a subprocess first: a dead axon tunnel
     # makes jax device init hang indefinitely inside this process, which
-    # would stall the whole benchmark run. Fall back to a clearly-labeled
-    # CPU sanity run instead.
+    # would stall the whole benchmark run. The tunnel flaps and usually
+    # self-heals within minutes, so RETRY the probe for a while
+    # (BENCH_PROBE_TRIES x BENCH_PROBE_WAIT seconds, default ~10 min)
+    # before falling back to a clearly-labeled CPU sanity run.
     if not args.quick:
         import subprocess
 
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, numpy as np, jax.numpy as jnp;"
-                 "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)))"],
-                timeout=180,
-                capture_output=True,
-            )
-            ok = probe.returncode == 0
-        except Exception:
-            ok = False
+        tries = int(os.environ.get("BENCH_PROBE_TRIES", "10"))
+        wait = float(os.environ.get("BENCH_PROBE_WAIT", "60"))
+        ok = False
+        for attempt in range(tries):
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, numpy as np, jax.numpy as jnp;"
+                     "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)));"
+                     "import sys; sys.exit(0 if jax.default_backend() "
+                     "== 'tpu' else 3)"],
+                    timeout=120,
+                    capture_output=True,
+                )
+                ok = probe.returncode == 0
+                if probe.returncode == 3:
+                    # jax came up but on CPU: no TPU plugged in at all;
+                    # retrying won't help
+                    break
+            except Exception:
+                ok = False
+            if ok:
+                break
+            print(f"# TPU probe {attempt + 1}/{tries} failed; retrying in "
+                  f"{wait:.0f}s", file=sys.stderr)
+            if attempt + 1 < tries:
+                time.sleep(wait)
         if not ok:
             print("# TPU unavailable (probe failed); falling back to "
                   "--quick CPU sanity run", file=sys.stderr)
