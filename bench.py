@@ -39,6 +39,17 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--no-manager", action="store_true")
     parser.add_argument("--network", default="EfficientSATRN")
+    parser.add_argument("--pallas-v2", action="store_true",
+                        help="use the flash-decode fused-layer Pallas "
+                        "kernel (ops/pallas/decoder_layer_v2.py) for the "
+                        "AR decode hot loop")
+    parser.add_argument("--early-stop", action="store_true",
+                        help="early-exit while_loop decode on a synthetic "
+                        "realistic length distribution (lognormal, mean "
+                        "~40 tokens) instead of burning all --steps; "
+                        "random weights never emit <EOS>, so per-sequence "
+                        "stop steps are injected via the documented "
+                        "stop_override benchmarking hook")
     args = parser.parse_args(argv)
 
     # Probe TPU availability in a subprocess first: a dead axon tunnel
@@ -138,8 +149,24 @@ def main(argv=None):
     if getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
 
+        stop_override = None
+        early_stop_eos = None
+        if args.early_stop:
+            # realistic formula-length distribution (competition mean ~40
+            # tokens): lognormal clipped to [5, steps]
+            lengths = np.clip(
+                rng.lognormal(mean=np.log(35.0), sigma=0.6, size=args.batch),
+                5, args.steps,
+            ).astype(np.int32)
+            stop_override = jnp.asarray(lengths)
+            early_stop_eos = vocab.eos_id
+            print(f"# early-stop: synthetic lengths mean="
+                  f"{lengths.mean():.1f} p95={np.percentile(lengths, 95):.0f}",
+                  file=sys.stderr)
         decode_fn = make_fast_greedy_fn(
-            model, variables, max_steps=args.steps, tables=tables
+            model, variables, max_steps=args.steps, tables=tables,
+            use_pallas_v2=args.pallas_v2,
+            early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
         fn = jax.jit(lambda v, im: decode_fn(im))
     else:
@@ -170,7 +197,9 @@ def main(argv=None):
         "metric": f"{args.network} greedy decode throughput "
                   f"(batch {args.batch}, {args.steps} steps, "
                   f"manager={'on' if tables is not None else 'off'}, "
-                  f"{jax.default_backend()})",
+                  + ("early-stop, " if args.early_stop else "")
+                  + ("pallas-v2, " if args.pallas_v2 else "")
+                  + f"{jax.default_backend()})",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(img_per_sec / REFERENCE_GPU_IMG_PER_SEC, 2),

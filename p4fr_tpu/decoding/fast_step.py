@@ -251,8 +251,8 @@ def pallas_decode_step_v2(
     cross_kv: Tuple[jnp.ndarray, ...],
     cache: Tuple[jnp.ndarray, ...],
     *,
-    batch_tile: int = 16,
-    chunk: int = 64,
+    batch_tile: int = 32,
+    chunk: int = 128,
     interpret: bool = False,
 ):
     """One AR step via the flash-decode fused layer kernel
@@ -317,11 +317,19 @@ def make_fast_greedy_fn(
     use_pallas: bool = False,
     use_pallas_v2: bool = False,
     batch_tile: int = 8,
+    stop_override: Optional[jnp.ndarray] = None,
 ):
     """Greedy decode over the fast step. Returns fn(images) -> tokens.
 
     Weights are fused at build time (so the returned fn closes over them);
     the encoder still runs through the flax model.
+
+    ``stop_override`` ([B] int32, requires ``early_stop_eos``) is a
+    BENCHMARKING hook: sequence i is additionally marked done once
+    ``t >= stop_override[i]``, which lets bench.py measure the early-stop
+    while_loop on a synthetic realistic length distribution without a
+    trained model (random weights rarely emit <EOS>). Production decode
+    leaves it None — outputs are then exactly the fixed-length decode's.
     """
     from p4fr_tpu.decoding import manager as dm
 
@@ -339,8 +347,8 @@ def make_fast_greedy_fn(
         step_fn = fast_decode_step
 
     cache_len = max_steps
-    if use_pallas_v2 and cache_len % 64 != 0:
-        cache_len = ((cache_len + 63) // 64) * 64  # chunk alignment
+    if use_pallas_v2 and cache_len % 128 != 0:
+        cache_len = ((cache_len + 127) // 128) * 128  # chunk alignment
 
     def fn(images):
         src = model.apply(variables, images, method="encode")
@@ -367,6 +375,8 @@ def make_fast_greedy_fn(
                     target = jnp.argmax(logits, -1).astype(jnp.int32)
                 buf = buf.at[:, t].set(jnp.where(done, early_stop_eos, target))
                 done = done | (target == early_stop_eos)
+                if stop_override is not None:
+                    done = done | (t >= stop_override)
                 return t + 1, target, cache, mstate, done, buf
 
             carry = (jnp.asarray(0), token0, cache, mstate0, done0, out_buf)

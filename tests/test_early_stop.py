@@ -42,3 +42,38 @@ def test_early_stop_matches_fixed_length(vocab):
         b = np.asarray(early(variables, images))
         for ra, rb in zip(a, b):
             assert _truncate(ra, vocab.eos_id) == _truncate(rb, vocab.eos_id)
+
+
+def test_stop_override_bench_hook(vocab):
+    """stop_override (bench.py's synthetic-length hook) must truncate each
+    sequence at its injected stop step and match the fixed-length decode
+    before it; stop_override=None must be exactly the fixed decode."""
+    from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
+
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    fixed = jax.jit(make_fast_greedy_fn(model, variables, max_steps=T))
+    plain_early = jax.jit(make_fast_greedy_fn(
+        model, variables, max_steps=T, early_stop_eos=vocab.eos_id))
+    stops = jnp.asarray([2, 7, T], jnp.int32)
+    forced = jax.jit(make_fast_greedy_fn(
+        model, variables, max_steps=T, early_stop_eos=vocab.eos_id,
+        stop_override=stops))
+
+    a = np.asarray(fixed(images))
+    b = np.asarray(plain_early(images))
+    c = np.asarray(forced(images))
+    for ra, rb in zip(a, b):
+        assert _truncate(ra, vocab.eos_id) == _truncate(rb, vocab.eos_id)
+    for i, (ra, rc) in enumerate(zip(a, c)):
+        stop = int(stops[i])
+        ta = _truncate(ra, vocab.eos_id)[: stop + 1]
+        tc = _truncate(rc, vocab.eos_id)
+        assert tc == ta, (i, tc, ta)
+        # everything past the stop step is <EOS> padding
+        assert (rc[stop + 1:] == vocab.eos_id).all()
