@@ -43,6 +43,12 @@ def main(argv=None):
                         help="use the flash-decode fused-layer Pallas "
                         "kernel (ops/pallas/decoder_layer_v2.py) for the "
                         "AR decode hot loop")
+    parser.add_argument("--fused", action="store_true",
+                        help="use the fully-fused greedy step kernel "
+                        "(ops/pallas/fused_decode.py): embedding + all "
+                        "decoder layers + generator + manager sift in ONE "
+                        "Pallas launch per step, time-major in-kernel "
+                        "cache write-back")
     parser.add_argument("--early-stop", action="store_true",
                         help="early-exit while_loop decode on a synthetic "
                         "realistic length distribution (lognormal, mean "
@@ -97,6 +103,13 @@ def main(argv=None):
 
     if args.quick:
         jax.config.update("jax_platforms", "cpu")
+        if args.pallas_v2 or args.fused:
+            # compiled Pallas kernels need a TPU; CPU supports interpret
+            # mode only (far slower than the jnp path — not a benchmark)
+            print("# --pallas-v2/--fused ignored on CPU fallback",
+                  file=sys.stderr)
+            args.pallas_v2 = False
+            args.fused = False
     # persistent compilation cache: the 230-step decode program takes
     # minutes to compile cold; repeat bench runs become seconds. TPU only:
     # CPU AOT cache entries are machine-feature-specific (SIGILL risk).
@@ -146,7 +159,14 @@ def main(argv=None):
     )
 
     tables = None if args.no_manager else RuleTables.build(vocab)
-    if getattr(model, "supports_fast_decode", False):
+    if args.fused and getattr(model, "supports_fast_decode", False):
+        from p4fr_tpu.decoding.fused_greedy import make_fused_greedy_fn
+
+        decode_fn = make_fused_greedy_fn(
+            model, variables, max_steps=args.steps, tables=tables
+        )
+        fn = jax.jit(lambda v, im: decode_fn(im))
+    elif getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
 
         stop_override = None
@@ -199,6 +219,7 @@ def main(argv=None):
                   f"manager={'on' if tables is not None else 'off'}, "
                   + ("early-stop, " if args.early_stop else "")
                   + ("pallas-v2, " if args.pallas_v2 else "")
+                  + ("fused, " if args.fused else "")
                   + f"{jax.default_backend()})",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",

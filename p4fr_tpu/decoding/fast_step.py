@@ -251,7 +251,7 @@ def pallas_decode_step_v2(
     cross_kv: Tuple[jnp.ndarray, ...],
     cache: Tuple[jnp.ndarray, ...],
     *,
-    batch_tile: int = 32,
+    batch_tile: int = 16,
     chunk: int = 128,
     interpret: bool = False,
 ):

@@ -258,15 +258,17 @@ def decoder_layer_step_v2(
     *,
     head_num: int,
     cache_outputs: bool = True,
-    batch_tile: int = 32,
+    batch_tile: int = 16,
     chunk: int = 128,
     interpret: bool = False,
 ):
     """Flash-decode fused layer step -> (out [B, H], new cache).
 
-    Defaults tuned on v5e (tb=32/ck=128 measured ~15% faster per step than
-    tb=16/ck=64; tb=64 exceeds VMEM). ``batch_tile`` falls back to the
-    largest divisor of B when B is not a multiple of it.
+    Defaults tuned on v5e: tb=16/ck=128 measured ~6% faster per step than
+    tb=16/ck=64. tb=32/ck=128 is another ~9% faster in isolation but
+    exceeds the 16MB VMEM scoped limit by 64K inside the full greedy
+    program; tb=64 exceeds VMEM outright. ``batch_tile`` falls back to
+    the largest divisor of B when B is not a multiple of it.
     """
     b, hidden = x.shape
     tb = min(batch_tile, b)
@@ -302,7 +304,7 @@ def decoder_layer_step_v2(
             grid=grid,
             in_specs=[
                 batch_spec((hidden,)),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # cache stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # cache stays in HBM
                 batch_spec((s_len, 2 * hidden)),
                 full_spec(w_qkv.shape),
                 full_spec((1, 3 * hidden)),
