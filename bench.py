@@ -162,8 +162,21 @@ def main(argv=None):
     if args.fused and getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fused_greedy import make_fused_greedy_fn
 
+        stop_override = None
+        early_stop_eos = None
+        if args.early_stop:
+            lengths = np.clip(
+                rng.lognormal(mean=np.log(35.0), sigma=0.6, size=args.batch),
+                5, args.steps,
+            ).astype(np.int32)
+            stop_override = jnp.asarray(lengths)
+            early_stop_eos = vocab.eos_id
+            print(f"# early-stop: synthetic lengths mean="
+                  f"{lengths.mean():.1f} p95={np.percentile(lengths, 95):.0f}",
+                  file=sys.stderr)
         decode_fn = make_fused_greedy_fn(
-            model, variables, max_steps=args.steps, tables=tables
+            model, variables, max_steps=args.steps, tables=tables,
+            early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
         fn = jax.jit(lambda v, im: decode_fn(im))
     elif getattr(model, "supports_fast_decode", False):

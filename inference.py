@@ -48,6 +48,13 @@ def build_parser() -> argparse.ArgumentParser:
         "chunks of this many batches; on TPU everything stays in HBM",
     )
     parser.add_argument(
+        "--kernel", default="auto",
+        choices=["auto", "jnp", "pallas_v2", "fused"],
+        help="greedy decode implementation (single inference): jnp fast "
+        "path (auto), per-layer flash-decode Pallas kernel, or the "
+        "fully-fused one-launch-per-step kernel (TPU only)",
+    )
+    parser.add_argument(
         "--early_stop", type=str2bool, default=False,
         help="exit the decode loop once every sequence emits <EOS> "
         "(output-equivalent; the reference always runs all steps)",

@@ -36,11 +36,23 @@ def make_fused_greedy_fn(
     *,
     max_steps: int,
     tables=None,
+    early_stop_eos: Optional[int] = None,
+    stop_override: Optional[jnp.ndarray] = None,
     batch_tile: int = 16,
     chunk: int = 128,
     interpret: bool = False,
 ):
-    """Build fn(images) -> tokens [B, max_steps] over the fused kernel."""
+    """Build fn(images) -> tokens [B, max_steps] over the fused kernel.
+
+    ``early_stop_eos`` switches the fixed-length scan to a while_loop that
+    exits once every sequence has emitted <EOS> (output-equivalent up to
+    the <EOS> padding, like make_fast_greedy_fn's). ``stop_override`` is
+    the same benchmarking hook as fast_step's (see its docstring).
+    """
+    if not interpret and jax.default_backend() != "tpu":
+        # compiled Pallas requires a TPU; fall back to the (slow but
+        # correct) interpreter so the CLI option degrades gracefully
+        interpret = True
     fast = build_fast_decoder(model, variables)
     vocab_size = int(fast.w_gen.shape[1])
     sos_id = int(model.sos_id)
@@ -70,7 +82,13 @@ def make_fused_greedy_fn(
 
     def fn(images):
         src = model.apply(variables, images, method="encode")
-        batch = src.shape[0]
+        b0 = src.shape[0]
+        # Mosaic's (CK, TB, H) -> (CK*TB, H) reshape needs TB to be a
+        # multiple of the sublane tile (16 for bf16); pad the batch after
+        # the encoder so the kernel always sees full tiles.
+        batch = ((b0 + batch_tile - 1) // batch_tile) * batch_tile
+        if batch != b0:
+            src = jnp.pad(src, ((0, batch - b0), (0, 0), (0, 0)))
         cross = jnp.stack(
             precompute_cross_kv(fast, src.astype(fast.w_gen.dtype))
         )  # [NL, B, S, 2H]
@@ -80,6 +98,32 @@ def make_fused_greedy_fn(
         token0 = jnp.full((batch,), sos_id, jnp.int32)
         mstate0 = jnp.zeros((batch, 4), jnp.int32)
         mstate0 = mstate0.at[:, 0].set(sos_id).at[:, 1].set(1)
+
+        if early_stop_eos is not None:
+            out0 = jnp.full((batch, max_steps), early_stop_eos, jnp.int32)
+            done0 = jnp.arange(batch) >= b0  # padding rows never gate exit
+
+            def cond(carry):
+                t = carry[0]
+                done = carry[4]
+                return (t < max_steps) & ~jnp.all(done)
+
+            def wbody(carry):
+                t, token, caches, mstate, done, buf = carry
+                token, caches, mstate, _ = fused_greedy_step(
+                    token, t, caches, cross, mstate, param_arrays, **kw
+                )
+                buf = buf.at[:, t].set(
+                    jnp.where(done, early_stop_eos, token)
+                )
+                done = done | (token == early_stop_eos)
+                if stop_override is not None:
+                    done = done | (t >= stop_override)
+                return t + 1, token, caches, mstate, done, buf
+
+            carry = (jnp.asarray(0), token0, caches, mstate0, done0, out0)
+            *_, buf = jax.lax.while_loop(cond, wbody, carry)
+            return buf[:b0]
 
         def body(carry, t):
             token, caches, mstate = carry
@@ -91,6 +135,6 @@ def make_fused_greedy_fn(
         _, tokens = jax.lax.scan(
             body, (token0, caches, mstate0), jnp.arange(max_steps)
         )
-        return tokens.T
+        return tokens.T[:b0]
 
     return fn

@@ -95,7 +95,13 @@ def run_inference(
     tokens_path: Optional[str] = None,  # kept for CLI parity (vocab is in ckpt)
     mesh=None,
     early_stop: bool = False,
+    kernel: str = "auto",
 ) -> List[Tuple[str, str]]:
+    """``kernel`` selects the greedy decode implementation: "jnp" (fused
+    weights, plain XLA — what "auto" picks today), "pallas_v2" (per-layer
+    flash-decode kernel) or "fused" (whole step in one Pallas launch; TPU
+    only, fastest). Both Pallas paths match the jnp path up to bf16
+    near-tie argmax flips (see ops/pallas/fused_decode.py)."""
     model, variables, options, vocab, _ = load_model_from_checkpoint(
         checkpoint_path
     )
@@ -108,12 +114,23 @@ def run_inference(
 
     if decode_type == "greedy":
         if getattr(model, "supports_fast_decode", False):
-            from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
+            if kernel == "fused":
+                from p4fr_tpu.decoding.fused_greedy import (
+                    make_fused_greedy_fn,
+                )
 
-            fused = make_fast_greedy_fn(
-                model, variables, max_steps=num_steps, tables=tables,
-                early_stop_eos=vocab.eos_id if early_stop else None,
-            )
+                fused = make_fused_greedy_fn(
+                    model, variables, max_steps=num_steps, tables=tables,
+                    early_stop_eos=vocab.eos_id if early_stop else None,
+                )
+            else:
+                from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
+
+                fused = make_fast_greedy_fn(
+                    model, variables, max_steps=num_steps, tables=tables,
+                    early_stop_eos=vocab.eos_id if early_stop else None,
+                    use_pallas_v2=(kernel == "pallas_v2"),
+                )
             decode_fn = lambda v, im: fused(im)  # noqa: E731
         else:
             decode_fn = make_greedy_fn(
@@ -204,5 +221,6 @@ def main(parser):
         decoding_manager=parser.decoding_manager,
         tokens_path=parser.tokens_path,
         early_stop=getattr(parser, "early_stop", False),
+        kernel=getattr(parser, "kernel", "auto"),
         mesh=mesh,
     )

@@ -102,3 +102,40 @@ def test_fused_greedy_logits_match_teacher_forced(vocab):
         np.testing.assert_array_equal(
             np.asarray(token_n), np.asarray(l_ref).argmax(-1))
         token = token_n
+
+
+def test_fused_early_stop_matches_fixed(vocab):
+    """Fused while_loop early-stop decode == fused fixed-length up to <EOS>
+    (and the stop_override hook truncates at the injected step)."""
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    tables = dm.RuleTables.build(vocab)
+    kw = dict(max_steps=T, tables=tables, batch_tile=2, chunk=4,
+              interpret=True)
+    fixed = np.asarray(make_fused_greedy_fn(model, variables, **kw)(images))
+    early = np.asarray(make_fused_greedy_fn(
+        model, variables, early_stop_eos=vocab.eos_id, **kw)(images))
+    stops = jnp.asarray([1, 3, T, 5], jnp.int32)
+    forced = np.asarray(make_fused_greedy_fn(
+        model, variables, early_stop_eos=vocab.eos_id,
+        stop_override=stops, **kw)(images))
+
+    def trunc(row):
+        out = []
+        for t in row:
+            if t == vocab.eos_id:
+                break
+            out.append(int(t))
+        return out
+
+    for ra, rb in zip(fixed, early):
+        assert trunc(ra) == trunc(rb)
+    for i, (ra, rc) in enumerate(zip(fixed, forced)):
+        stop = int(stops[i])
+        assert trunc(rc) == trunc(ra)[: stop + 1]
+        assert (rc[stop + 1:] == vocab.eos_id).all()
