@@ -251,8 +251,8 @@ def pallas_decode_step_v2(
     cross_kv: Tuple[jnp.ndarray, ...],
     cache: Tuple[jnp.ndarray, ...],
     *,
-    batch_tile: int = 16,
-    chunk: int = 128,
+    batch_tile: int = 32,
+    chunk: int = 64,
     interpret: bool = False,
 ):
     """One AR step via the flash-decode fused layer kernel

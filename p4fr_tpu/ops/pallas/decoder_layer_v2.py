@@ -95,28 +95,31 @@ def _kernel(
 ):
     pos = pos_ref[0]
     i = pl.program_id(0)
-    x = x_ref[:].astype(jnp.float32)
+    cdtype = chunk_buf.dtype  # compute dtype: bf16 on TPU, f32 interpret
+    x = x_ref[:].astype(cdtype)
     tb, hidden = x.shape
     temp = jnp.float32(hidden) ** 0.5
     rows = pl.ds(i * tb, tb)
-    seg = _head_indicator(hidden, head_num)  # [H, heads]
+    seg = _head_indicator(hidden, head_num).astype(cdtype)  # [H, heads]
     seg_t = seg.T  # [heads, H]
 
     def ln(y, ref):
+        y = y.astype(jnp.float32)
         mean = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
-        return (
+        out = (
             (y - mean) * jax.lax.rsqrt(var + 1e-5)
             * ref[0, :].astype(jnp.float32)
             + ref[1, :].astype(jnp.float32)
         )
+        return out.astype(cdtype)
 
     def seg_scores(q, k):
         """Per-head dot products, lane-parallel. q [TB, H], k [TB, T, H]
-        -> [TB, T, heads] (already divided by the attention temperature).
+        (both cdtype) -> [TB, T, heads] f32 (already temperature-scaled).
         """
         t = k.shape[1]
-        e = q[:, None, :] * k  # [TB, T, H]
+        e = q[:, None, :] * k  # [TB, T, H] cdtype
         s = jnp.dot(
             e.reshape(tb * t, hidden), seg,
             preferred_element_type=jnp.float32,
@@ -124,26 +127,27 @@ def _kernel(
         return s.reshape(tb, t, head_num) / temp
 
     def seg_weighted_sum(p, v):
-        """sum_t p[tb,t,h] * v[tb,t,h*dh+d] -> [TB, H], lane-parallel."""
+        """sum_t p[tb,t,h] * v[tb,t,h*dh+d] -> [TB, H] f32; p f32, v cdtype."""
         t = v.shape[1]
         p_wide = jnp.dot(
-            p.reshape(tb * t, head_num), seg_t,
+            p.astype(cdtype).reshape(tb * t, head_num), seg_t,
             preferred_element_type=jnp.float32,
-        ).reshape(tb, t, hidden)
-        return jnp.sum(p_wide * v, axis=1)
+        ).astype(cdtype).reshape(tb, t, hidden)
+        return jnp.sum((p_wide * v).astype(jnp.float32), axis=1)
 
     # ---- current token q/k/v ------------------------------------------
-    w_qkv = w_qkv_ref[:].astype(jnp.float32)
+    w_qkv = w_qkv_ref[:].astype(cdtype)
     qkv = (
         jnp.dot(x, w_qkv, preferred_element_type=jnp.float32)
         + b_qkv_ref[0, :].astype(jnp.float32)
     )
-    q = qkv[:, :hidden]
-    kv_cur = qkv[:, hidden:]  # [TB, 2H]
+    q = qkv[:, :hidden].astype(cdtype)
+    kv_cur = qkv[:, hidden:]  # [TB, 2H] f32
 
     # seed the online softmax with the current position's contribution
     m_buf[:] = jnp.dot(
-        q * kv_cur[:, :hidden], seg, preferred_element_type=jnp.float32
+        q * kv_cur[:, :hidden].astype(cdtype), seg,
+        preferred_element_type=jnp.float32,
     ) / temp  # [TB, heads]
     l_buf[:] = jnp.ones((tb, head_num), jnp.float32)
     acc_buf[:] = kv_cur[:, hidden:]
@@ -169,9 +173,9 @@ def _kernel(
 
         slot = c % 2
         chunk_dma(slot, c).wait()
-        k = chunk_buf[slot, :, :, :hidden].astype(jnp.float32)
-        v = chunk_buf[slot, :, :, hidden:].astype(jnp.float32)
-        s = seg_scores(q, k)  # [TB, CK, heads]
+        k = chunk_buf[slot, :, :, :hidden]
+        v = chunk_buf[slot, :, :, hidden:]
+        s = seg_scores(q, k)  # [TB, CK, heads] f32
         lane = jax.lax.broadcasted_iota(jnp.int32, (tb, chunk, head_num), 1)
         banned = (c * chunk + lane) >= pos
         s = jnp.where(banned, NEG_INF, s)
@@ -181,7 +185,8 @@ def _kernel(
         p = jnp.exp(s - m_new[:, None, :])
         p = jnp.where(banned, 0.0, p)
         l_buf[:] = l_buf[:] * corr + jnp.sum(p, axis=1)
-        corr_wide = jnp.dot(corr, seg_t, preferred_element_type=jnp.float32)
+        corr_wide = jnp.dot(corr, seg_t.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
         acc_buf[:] = acc_buf[:] * corr_wide + seg_weighted_sum(p, v)
         m_buf[:] = m_new
         return 0
@@ -189,47 +194,48 @@ def _kernel(
     jax.lax.fori_loop(0, num_chunks, chunk_body, 0)
 
     # normalize heads: divide each head's lanes by its softmax mass
-    l_wide = jnp.dot(l_buf[:], seg_t, preferred_element_type=jnp.float32)
-    att = acc_buf[:] / l_wide
+    l_wide = jnp.dot(l_buf[:], seg_t.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    att = (acc_buf[:] / l_wide).astype(cdtype)
     att = (
-        jnp.dot(att, w_out_ref[:].astype(jnp.float32),
+        jnp.dot(att, w_out_ref[:].astype(cdtype),
                 preferred_element_type=jnp.float32)
         + b_out_ref[0, :].astype(jnp.float32)
     )
-    out = ln(att + x, ln1_ref)
+    out = ln(att + x.astype(jnp.float32), ln1_ref)
 
     # ---- cross attention (src fits in VMEM, plain softmax) -------------
     q2 = (
-        jnp.dot(out, w_q2_ref[:].astype(jnp.float32),
+        jnp.dot(out, w_q2_ref[:].astype(cdtype),
                 preferred_element_type=jnp.float32)
         + b_q2_ref[0, :].astype(jnp.float32)
-    )
-    ck = src_kv_ref[:, :, :hidden].astype(jnp.float32)
-    cv = src_kv_ref[:, :, hidden:].astype(jnp.float32)
-    s2 = seg_scores(q2, ck)  # [TB, S, heads]
+    ).astype(cdtype)
+    ck = src_kv_ref[:, :, :hidden].astype(cdtype)
+    cv = src_kv_ref[:, :, hidden:].astype(cdtype)
+    s2 = seg_scores(q2, ck)  # [TB, S, heads] f32
     s2 = s2 - jnp.max(s2, axis=1, keepdims=True)
     p2 = jnp.exp(s2)
     p2 = p2 / jnp.sum(p2, axis=1, keepdims=True)
-    att2 = seg_weighted_sum(p2, cv)
+    att2 = seg_weighted_sum(p2, cv).astype(cdtype)
     att2 = (
-        jnp.dot(att2, w_out2_ref[:].astype(jnp.float32),
+        jnp.dot(att2, w_out2_ref[:].astype(cdtype),
                 preferred_element_type=jnp.float32)
         + b_out2_ref[0, :].astype(jnp.float32)
     )
-    out = ln(att2 + out, ln2_ref)
+    out = ln(att2 + out.astype(jnp.float32), ln2_ref)
 
     # ---- FF -------------------------------------------------------------
     ff = jnp.maximum(
-        jnp.dot(out, w_ff0_ref[:].astype(jnp.float32),
+        jnp.dot(out, w_ff0_ref[:].astype(cdtype),
                 preferred_element_type=jnp.float32)
         + b_ff0_ref[0, :].astype(jnp.float32), 0.0,
-    )
+    ).astype(cdtype)
     ff = jnp.maximum(
-        jnp.dot(ff, w_ff1_ref[:].astype(jnp.float32),
+        jnp.dot(ff, w_ff1_ref[:].astype(cdtype),
                 preferred_element_type=jnp.float32)
         + b_ff1_ref[0, :].astype(jnp.float32), 0.0,
     )
-    out = ln(ff + out, ln3_ref)
+    out = ln(ff + out.astype(jnp.float32), ln3_ref)
 
     # ---- slot to scatter (XLA applies the dynamic_update_slice) ----------
     if cache_outputs:
@@ -258,8 +264,8 @@ def decoder_layer_step_v2(
     *,
     head_num: int,
     cache_outputs: bool = True,
-    batch_tile: int = 16,
-    chunk: int = 128,
+    batch_tile: int = 32,
+    chunk: int = 64,
     interpret: bool = False,
 ):
     """Flash-decode fused layer step -> (out [B, H], new cache).
