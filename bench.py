@@ -32,17 +32,23 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="tiny CPU-friendly sanity run")
-    parser.add_argument("--batch", type=int, default=128,
+    parser.add_argument("--batch", type=int, default=256,
                         help="per-chip batch; decode is latency-bound so "
-                        "large batches amortize (32=reference default)")
+                        "large batches amortize (32=reference default; "
+                        "256 measured best-throughput on v5e)")
     parser.add_argument("--steps", type=int, default=230)
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--no-manager", action="store_true")
     parser.add_argument("--network", default="EfficientSATRN")
-    parser.add_argument("--pallas-v2", action="store_true",
+    parser.add_argument("--pallas-v2", dest="pallas_v2", default=None,
+                        action="store_true",
                         help="use the flash-decode fused-layer Pallas "
                         "kernel (ops/pallas/decoder_layer_v2.py) for the "
-                        "AR decode hot loop")
+                        "AR decode hot loop; DEFAULT on TPU (measured "
+                        "fastest), use --no-pallas-v2 for the jnp path")
+    parser.add_argument("--no-pallas-v2", dest="pallas_v2",
+                        action="store_false",
+                        help="force the plain-jnp fused-weight decode")
     parser.add_argument("--fused", action="store_true",
                         help="use the fully-fused greedy step kernel "
                         "(ops/pallas/fused_decode.py): embedding + all "
@@ -142,6 +148,8 @@ def main(argv=None):
         args.iters = 2
 
     on_tpu = jax.default_backend() == "tpu"
+    if args.pallas_v2 is None:
+        args.pallas_v2 = on_tpu  # measured fastest on v5e; jnp on CPU
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = get_network(options.network, options, vocab, dtype=dtype)
 

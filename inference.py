@@ -49,10 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     parser.add_argument(
         "--kernel", default="auto",
-        choices=["auto", "jnp", "pallas_v2", "fused"],
-        help="greedy decode implementation (single inference): jnp fast "
-        "path (auto), per-layer flash-decode Pallas kernel, or the "
-        "fully-fused one-launch-per-step kernel (TPU only)",
+        choices=["auto", "jnp", "pallas_v2", "fused", "generic"],
+        help="greedy decode implementation (single + ensemble): auto "
+        "picks the flash-decode Pallas kernel on TPU and the jnp fast "
+        "path elsewhere; fused = the experimental one-launch-per-step "
+        "kernel (single inference only); generic = modular flax step "
+        "(ensemble only)",
     )
     parser.add_argument(
         "--early_stop", type=str2bool, default=False,

@@ -346,6 +346,14 @@ def make_fast_greedy_fn(
     else:
         step_fn = fast_decode_step
 
+    if use_pallas_v2 and jax.default_backend() != "tpu":
+        # compiled Pallas needs a TPU; fall back to the interpreter so an
+        # explicit --kernel pallas_v2 still works (slowly) off-TPU
+        def step_fn(fast_, token, t, cross_kv, cache):
+            return pallas_decode_step_v2(
+                fast_, token, t, cross_kv, cache, interpret=True
+            )
+
     cache_len = max_steps
     if use_pallas_v2 and cache_len % 128 != 0:
         cache_len = ((cache_len + 127) // 128) * 128  # chunk alignment

@@ -42,6 +42,7 @@ def make_ensemble_decode_fn(
     max_steps: int,
     tables: Optional[dm.RuleTables] = None,
     early_stop_eos: Optional[int] = None,
+    kernel: str = "auto",
 ):
     """fn(variables_list, memories_list) -> tokens [B, T].
 
@@ -49,16 +50,72 @@ def make_ensemble_decode_fn(
     Softmax is averaged across models each step (ensemble_utils.py:93-98);
     the manager's additional softmax is monotonic so the argmax matches the
     reference's double-softmax behavior exactly.
+
+    ``kernel``: transformer-decoder members step through the fused-weight
+    fast path ("jnp", numerically identical to the generic flax step) or
+    the flash-decode Pallas kernel ("pallas_v2"); "auto" picks pallas_v2
+    on TPU and jnp elsewhere; "generic" forces the modular flax step.
+    Members without a fast decode contract (e.g. ASTER's LSTM decoder)
+    always use their generic ``decode_step``.
     """
     sos_id = models[0].sos_id
+    if kernel == "auto":
+        kernel = "pallas_v2" if jax.default_backend() == "tpu" else "jnp"
+    elif kernel == "fused":
+        # the single-launch fused kernel argmaxes internally — ensemble
+        # averaging needs per-model probs, so use the per-layer kernel
+        kernel = "pallas_v2"
+    if kernel == "pallas_v2" and jax.default_backend() != "tpu":
+        kernel = "jnp"  # compiled Pallas needs a TPU
 
     def fn(variables_list, memories):
+        from p4fr_tpu.decoding.fast_step import (
+            build_fast_decoder,
+            fast_decode_step,
+            init_fast_cache,
+            pallas_decode_step_v2,
+            precompute_cross_kv,
+        )
+
         batch = memories[0].shape[0]
-        src_kvs = [
-            m.apply(v, mem, method="precompute_src")
-            for m, v, mem in zip(models, variables_list, memories)
+        model_fast = [
+            kernel != "generic"
+            and getattr(m, "supports_fast_decode", False)
+            for m in models
         ]
-        caches = [m.init_decode_cache(batch, max_steps) for m in models]
+        fasts, src_kvs, caches, steps = [], [], [], []
+        for m, v, mem, is_fast in zip(
+            models, variables_list, memories, model_fast
+        ):
+            if is_fast:
+                fast = build_fast_decoder(m, v)
+                cache_len = max_steps
+                if kernel == "pallas_v2" and cache_len % 128:
+                    cache_len = ((cache_len + 127) // 128) * 128
+                fasts.append(fast)
+                src_kvs.append(
+                    precompute_cross_kv(fast, mem.astype(fast.w_gen.dtype))
+                )
+                caches.append(init_fast_cache(fast, batch, cache_len))
+                step = (
+                    pallas_decode_step_v2
+                    if kernel == "pallas_v2"
+                    else fast_decode_step
+                )
+                steps.append(
+                    lambda tok, t, ckv, c, fast=fast, step=step: step(
+                        fast, tok, t, ckv, c
+                    )
+                )
+            else:
+                fasts.append(None)
+                src_kvs.append(m.apply(v, mem, method="precompute_src"))
+                caches.append(m.init_decode_cache(batch, max_steps))
+                steps.append(
+                    lambda tok, t, ckv, c, m=m, v=v: m.apply(
+                        v, tok, t, ckv, c, method="decode_step"
+                    )
+                )
         token0 = jnp.full((batch,), sos_id, jnp.int32)
         mstate0 = dm.init_state(batch, tables) if tables is not None else None
 
@@ -66,12 +123,8 @@ def make_ensemble_decode_fn(
             token, caches, mstate = carry
             probs_sum = None
             new_caches = []
-            for model, variables, src_kv, cache in zip(
-                models, variables_list, src_kvs, caches
-            ):
-                logits, cache = model.apply(
-                    variables, token, t, src_kv, cache, method="decode_step"
-                )
+            for step, src_kv, cache in zip(steps, src_kvs, caches):
+                logits, cache = step(token, t, src_kv, cache)
                 p = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 probs_sum = p if probs_sum is None else probs_sum + p
                 new_caches.append(cache)
@@ -123,6 +176,7 @@ def run_ensemble(
     max_cache: int = 50,  # compat no-op
     early_stop: bool = False,
     mesh=None,
+    kernel: str = "auto",
 ) -> List[Tuple[str, str]]:
     del max_cache
     loaded = [load_model_from_checkpoint(p) for p in checkpoint_paths]
@@ -149,6 +203,7 @@ def run_ensemble(
     decode_fn = make_ensemble_decode_fn(
         models, max_steps=num_steps, tables=tables,
         early_stop_eos=vocab.eos_id if early_stop else None,
+        kernel=kernel,
     )
     if mesh is not None:
         # DP ensemble (BASELINE north star): every model replicates, the
@@ -237,4 +292,5 @@ def main(parser):
         max_cache=parser.max_cache,
         early_stop=getattr(parser, "early_stop", False),
         mesh=mesh,
+        kernel=getattr(parser, "kernel", "auto"),
     )

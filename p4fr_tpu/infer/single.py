@@ -97,11 +97,12 @@ def run_inference(
     early_stop: bool = False,
     kernel: str = "auto",
 ) -> List[Tuple[str, str]]:
-    """``kernel`` selects the greedy decode implementation: "jnp" (fused
-    weights, plain XLA — what "auto" picks today), "pallas_v2" (per-layer
-    flash-decode kernel) or "fused" (whole step in one Pallas launch; TPU
-    only, fastest). Both Pallas paths match the jnp path up to bf16
-    near-tie argmax flips (see ops/pallas/fused_decode.py)."""
+    """``kernel`` selects the greedy decode implementation: "auto" picks
+    "pallas_v2" on TPU (measured fastest: the flash-decode fused-layer
+    kernel) and "jnp" elsewhere (fused weights, plain XLA); "fused" is the
+    experimental whole-step single-launch kernel. The Pallas paths match
+    the jnp path up to bf16 near-tie argmax flips (all computations are
+    at-or-above the jnp path's precision — see ops/pallas/ docstrings)."""
     model, variables, options, vocab, _ = load_model_from_checkpoint(
         checkpoint_path
     )
@@ -114,6 +115,12 @@ def run_inference(
 
     if decode_type == "greedy":
         if getattr(model, "supports_fast_decode", False):
+            import jax
+
+            if kernel == "auto":
+                kernel = (
+                    "pallas_v2" if jax.default_backend() == "tpu" else "jnp"
+                )
             if kernel == "fused":
                 from p4fr_tpu.decoding.fused_greedy import (
                     make_fused_greedy_fn,

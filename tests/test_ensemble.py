@@ -64,3 +64,30 @@ def test_single_model_ensemble_equals_greedy(vocab):
     np.testing.assert_array_equal(
         np.asarray(ens([v1], [mem])), np.asarray(greedy(v1, mem))
     )
+
+
+def test_ensemble_kernel_paths_agree(vocab):
+    """The fused-weight fast step inside the ensemble scan ("jnp" kernel)
+    must produce exactly the generic flax decode_step's tokens (they are
+    numerically identical; tested per-step in test_fast_step.py)."""
+    import numpy as np
+    from helpers import synth_images, synth_labels, tiny_satrn
+
+    satrn = tiny_satrn()
+    images = jnp.asarray(synth_images(2))
+    text = jnp.asarray(synth_labels(2, 6))
+    v1 = satrn.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    mem = satrn.apply(v1, images, method="encode")
+    tables = dm.RuleTables.build(vocab)
+    T = 8
+    for tabs in (None, tables):
+        a = jax.jit(make_ensemble_decode_fn(
+            [satrn], max_steps=T, tables=tabs, kernel="generic"
+        ))([v1], [mem])
+        b = jax.jit(make_ensemble_decode_fn(
+            [satrn], max_steps=T, tables=tabs, kernel="jnp"
+        ))([v1], [mem])
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
