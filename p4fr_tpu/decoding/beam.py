@@ -40,11 +40,26 @@ def make_beam_fn(
     eos_id: int,
     pad_id: Optional[int] = None,
     from_memory: bool = False,
+    kernel: str = "auto",
 ) -> Callable:
-    """Build fn(variables, images_or_src) -> tokens [B, max_steps]."""
+    """Build fn(variables, images_or_src) -> tokens [B, max_steps].
+
+    ``kernel``: transformer-decoder models advance hypotheses through the
+    fused-weight fast step ("jnp", token-identical to the generic flax
+    step) or the flash-decode Pallas kernel ("pallas_v2"); "auto" picks
+    pallas_v2 on TPU. Models without the fast-decode contract (ASTER's
+    LSTM decoder) always use their generic ``decode_step``.
+    """
     sos_id = model.sos_id
     pad_id = model.pad_id if pad_id is None else pad_id
     W = beam_width
+    if kernel == "auto":
+        kernel = "pallas_v2" if jax.default_backend() == "tpu" else "jnp"
+    if kernel == "pallas_v2" and jax.default_backend() != "tpu":
+        kernel = "jnp"
+    use_fast = kernel != "generic" and getattr(
+        model, "supports_fast_decode", False
+    )
 
     def fn(variables, inputs):
         if from_memory:
@@ -55,8 +70,41 @@ def make_beam_fn(
         BW = B * W
         # tile memory per beam: [B, S, C] -> [B*W, S, C]
         src_tiled = jnp.repeat(src, W, axis=0)
-        src_kv = model.apply(variables, src_tiled, method="precompute_src")
-        cache = model.init_decode_cache(BW, max_steps)
+        if use_fast:
+            from p4fr_tpu.decoding.fast_step import (
+                build_fast_decoder,
+                fast_decode_step,
+                init_fast_cache,
+                pallas_decode_step_v2,
+                precompute_cross_kv,
+            )
+
+            fast = build_fast_decoder(model, variables)
+            cache_len = max_steps
+            if kernel == "pallas_v2" and cache_len % 128:
+                cache_len = ((cache_len + 127) // 128) * 128
+            src_kv = precompute_cross_kv(
+                fast, src_tiled.astype(fast.w_gen.dtype)
+            )
+            cache = init_fast_cache(fast, BW, cache_len)
+            raw_step = (
+                pallas_decode_step_v2 if kernel == "pallas_v2"
+                else fast_decode_step
+            )
+
+            def step(token, t, cache):
+                return raw_step(fast, token, t, src_kv, cache)
+        else:
+            src_kv = model.apply(
+                variables, src_tiled, method="precompute_src"
+            )
+            cache = model.init_decode_cache(BW, max_steps)
+
+            def step(token, t, cache):
+                return model.apply(
+                    variables, token, t, src_kv, cache,
+                    method="decode_step",
+                )
 
         token0 = jnp.full((BW,), sos_id, jnp.int32)
         # beam 0 active, others silenced so step 0 doesn't duplicate
@@ -68,9 +116,7 @@ def make_beam_fn(
 
         def body(carry, t):
             token, cache, scores, lengths, finished = carry
-            logits, cache = model.apply(
-                variables, token, t, src_kv, cache, method="decode_step"
-            )
+            logits, cache = step(token, t, cache)
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             V = logp.shape[-1]
             logp = logp.reshape(B, W, V)

@@ -151,6 +151,7 @@ def run_inference(
         decode_fn = make_beam_fn(
             model, max_steps=num_steps, beam_width=beam_width,
             eos_id=vocab.eos_id,
+            kernel="generic" if kernel == "fused" else kernel,
         )
     else:
         raise ValueError(f"decode_type {decode_type}")

@@ -145,3 +145,26 @@ def test_beam_pads_after_eos():
         if 1 in row.tolist():
             k = row.tolist().index(1)
             assert all(t == 2 for t in row[k + 1 :]), row
+
+
+def test_beam_kernel_paths_agree():
+    """Beam over the fused fast step ("jnp") == beam over the generic flax
+    decode_step, token for token (SATRN; the per-step equivalence is
+    proven in test_fast_step.py — this checks the cache-gather path)."""
+    from helpers import synth_images, synth_labels, tiny_satrn
+
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(2))
+    text = jnp.asarray(synth_labels(2, 6))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    for w in (1, 3):
+        a = jax.jit(make_beam_fn(
+            model, max_steps=T, beam_width=w, eos_id=1, kernel="generic"
+        ))(variables, images)
+        b = jax.jit(make_beam_fn(
+            model, max_steps=T, beam_width=w, eos_id=1, kernel="jnp"
+        ))(variables, images)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
