@@ -40,6 +40,12 @@ def main(argv=None):
     parser.add_argument("--iters", type=int, default=3)
     parser.add_argument("--no-manager", action="store_true")
     parser.add_argument("--network", default="EfficientSATRN")
+    parser.add_argument("--train", action="store_true",
+                        help="benchmark the teacher-forced train step "
+                        "(forward+backward+AdamW) instead of inference; "
+                        "--batch defaults to 64 in this mode")
+    parser.add_argument("--label-len", type=int, default=64,
+                        help="training label length (train mode)")
     parser.add_argument("--pallas-v2", dest="pallas_v2", default=None,
                         action="store_true",
                         help="use the flash-decode fused-layer Pallas "
@@ -165,6 +171,65 @@ def main(argv=None):
         text[:1],
         train=False,
     )
+
+    if args.train:
+        import optax  # noqa: F401
+
+        from p4fr_tpu.train.steps import (
+            TrainState, build_optimizer, make_train_step,
+        )
+
+        batch = 64 if args.batch == 256 else args.batch
+        if args.quick:
+            batch = min(batch, 4)
+        images_t = jnp.asarray(
+            rng.normal(size=(batch, h, w, 3)).astype(np.float32)
+        )
+        ll = args.label_len if not args.quick else 12
+        labels = rng.integers(4, 200, size=(batch, ll)).astype(np.int32)
+        labels[:, 0] = vocab.sos_id
+        labels[:, -8:] = vocab.pad_id
+        labels[:, -9] = vocab.eos_id
+        labels_t = jnp.asarray(labels)
+
+        optimizer = build_optimizer("AdamW", 5e-4, weight_decay=1e-6,
+                                    max_grad_norm=2.0)
+        state = TrainState(
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=optimizer.init(variables["params"]),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        train_step = make_train_step(model, optimizer, vocab.pad_id)
+        rng_key = jax.random.PRNGKey(0)
+
+        t0 = time.perf_counter()
+        state, metrics, _ = train_step(state, images_t, labels_t, rng_key,
+                                       teacher_forced=True)
+        np.asarray(metrics["loss"])
+        compile_s = time.perf_counter() - t0
+        times = []
+        for _ in range(args.iters):
+            t0 = time.perf_counter()
+            state, metrics, _ = train_step(
+                state, images_t, labels_t, rng_key, teacher_forced=True
+            )
+            np.asarray(metrics["loss"])
+            times.append(time.perf_counter() - t0)
+        best = min(times)
+        result = {
+            "metric": f"{args.network} teacher-forced train step "
+                      f"(batch {batch}, labels {ll}, AdamW, "
+                      f"{jax.default_backend()})",
+            "value": round(batch / best, 2),
+            "unit": "images/sec/chip",
+            "vs_baseline": None,  # reference publishes no train throughput
+        }
+        print(json.dumps(result))
+        print(f"# compile {compile_s:.1f}s | step times "
+              f"{['%.3f' % t for t in times]} | loss "
+              f"{float(metrics['loss']):.3f}", file=sys.stderr)
+        return result
 
     tables = None if args.no_manager else RuleTables.build(vocab)
     if args.fused and getattr(model, "supports_fast_decode", False):
