@@ -208,13 +208,14 @@ def run_ensemble(
     if mesh is not None:
         # DP ensemble (BASELINE north star): every model replicates, the
         # image batch and all per-model encoder memories shard over `data`.
+        # The joint decode goes through shard_map (manual SPMD) so Pallas
+        # decode kernels run per-device on their batch shard.
         from p4fr_tpu.parallel.mesh import batch_sharding, replicated
+        from p4fr_tpu.parallel.sharding import make_sharded_infer_fn
 
         batch_sh = batch_sharding(mesh)
         repl = replicated(mesh)
-        decode = jax.jit(
-            decode_fn, in_shardings=(repl, batch_sh), out_shardings=batch_sh
-        )
+        decode = make_sharded_infer_fn(decode_fn, mesh)
         encoders = [
             jax.jit(
                 lambda v, im, m=model: m.apply(v, im, method="encode"),

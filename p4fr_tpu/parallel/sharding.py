@@ -91,17 +91,31 @@ def make_sharded_train_step(
 def make_sharded_infer_fn(decode_fn: Callable, mesh: Mesh) -> Callable:
     """Data-parallel wrapper for a greedy/beam decode fn built by
     ``decoding.*.make_*_fn``: images shard over ``data``, params replicate.
-    Used for single-model and ensemble inference throughput scaling."""
-    batch_sh = batch_sharding(mesh)
-    repl = replicated(mesh)
+    Used for single-model and ensemble inference throughput scaling.
 
-    jitted = jax.jit(
-        decode_fn,
-        in_shardings=(repl, batch_sh),
-        out_shardings=None,
+    Implemented with ``shard_map`` (manual SPMD) rather than
+    ``jit(in_shardings=...)``: decode is embarrassingly parallel over the
+    batch, and manual SPMD lets each device run the FULL per-shard
+    program — including Pallas kernels, which the GSPMD partitioner
+    cannot split through a ``pallas_call`` — with zero collectives.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    # params replicate (P() leaves), the image batch shards over `data`
+    data_spec = P("data")
+    repl_spec = P()
+
+    sharded = jax.jit(
+        shard_map(
+            decode_fn,
+            mesh=mesh,
+            in_specs=(repl_spec, data_spec),
+            out_specs=data_spec,
+            check_rep=False,
+        )
     )
 
     def run(variables, images):
-        return jitted(variables, images)
+        return sharded(variables, images)
 
     return run

@@ -65,3 +65,32 @@ def test_sharded_ensemble_matches_single_device():
     mem_sharded = [shard_batch(mesh, np.asarray(m)) for m in memories]
     got = np.asarray(sharded(variables_list, mem_sharded))
     np.testing.assert_array_equal(want, got)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_fast_and_pallas_paths_match_single_device():
+    """The fused-weight fast path AND the flash-decode Pallas kernel
+    (interpret mode on CPU) must survive shard_map data parallelism and
+    reproduce the single-device tokens — this is the production multi-chip
+    configuration (pjit's GSPMD cannot split a pallas_call; shard_map
+    runs it per-device on the batch shard)."""
+    from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
+
+    model = tiny_satrn()
+    B, T = 16, 6
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    mesh = make_mesh(8, 1)
+    for pallas in (False, True):
+        fast = make_fast_greedy_fn(
+            model, variables, max_steps=T, use_pallas_v2=pallas
+        )
+        decode = lambda v, im: fast(im)  # noqa: E731
+        want = np.asarray(jax.jit(decode)(variables, images))
+        fn = make_sharded_infer_fn(decode, mesh)
+        got = np.asarray(fn(variables, shard_batch(mesh, np.asarray(images))))
+        np.testing.assert_array_equal(want, got)
