@@ -107,6 +107,27 @@ def make_ensemble_decode_fn(
                         fast, tok, t, ckv, c
                     )
                 )
+            elif kernel != "generic" and getattr(
+                m, "supports_fast_lstm_decode", False
+            ):
+                from p4fr_tpu.decoding.fast_aster import (
+                    build_fast_aster,
+                    fast_aster_step,
+                    init_fast_aster_cache,
+                    precompute_aster_src,
+                )
+
+                fa = build_fast_aster(m, v)
+                fasts.append(fa)
+                src_kvs.append(
+                    precompute_aster_src(fa, mem.astype(fa.w_gen.dtype))
+                )
+                caches.append(init_fast_aster_cache(fa, batch))
+                steps.append(
+                    lambda tok, t, ckv, c, fa=fa: fast_aster_step(
+                        fa, tok, ckv[0], ckv[1], c
+                    )
+                )
             else:
                 fasts.append(None)
                 src_kvs.append(m.apply(v, mem, method="precompute_src"))

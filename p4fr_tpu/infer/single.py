@@ -139,6 +139,19 @@ def run_inference(
                     use_pallas_v2=(kernel == "pallas_v2"),
                 )
             decode_fn = lambda v, im: fused(im)  # noqa: E731
+        elif (
+            kernel != "generic"
+            and getattr(model, "supports_fast_lstm_decode", False)
+        ):
+            from p4fr_tpu.decoding.fast_aster import (
+                make_fast_aster_greedy_fn,
+            )
+
+            fused = make_fast_aster_greedy_fn(
+                model, variables, max_steps=num_steps, tables=tables,
+                early_stop_eos=vocab.eos_id if early_stop else None,
+            )
+            decode_fn = lambda v, im: fused(im)  # noqa: E731
         else:
             decode_fn = make_greedy_fn(
                 model, max_steps=num_steps, tables=tables,

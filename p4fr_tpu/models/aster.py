@@ -128,6 +128,8 @@ class AttentionCell(nn.Module):
 class ASTER(nn.Module):
     """Encoder-decoder ASTER following the unified model contract."""
 
+    supports_fast_lstm_decode = True  # decoding/fast_aster.py weight fusion
+
     num_classes: int
     pad_id: int
     sos_id: int
