@@ -147,8 +147,9 @@ def main(argv=None):
     if args.quick:
         options.input_size.height = 64
         options.input_size.width = 128
-        options.SATRN.encoder.layer_num = 1
-        options.SATRN.decoder.layer_num = 1
+        if hasattr(options, "SATRN"):
+            options.SATRN.encoder.layer_num = 1
+            options.SATRN.decoder.layer_num = 1
         args.batch = min(args.batch, 4)
         args.steps = min(args.steps, 16)
         args.iters = 2
@@ -248,6 +249,23 @@ def main(argv=None):
                   f"{lengths.mean():.1f} p95={np.percentile(lengths, 95):.0f}",
                   file=sys.stderr)
         decode_fn = make_fused_greedy_fn(
+            model, variables, max_steps=args.steps, tables=tables,
+            early_stop_eos=early_stop_eos, stop_override=stop_override,
+        )
+        fn = jax.jit(lambda v, im: decode_fn(im))
+    elif getattr(model, "supports_fast_lstm_decode", False):
+        from p4fr_tpu.decoding.fast_aster import make_fast_aster_greedy_fn
+
+        stop_override = None
+        early_stop_eos = None
+        if args.early_stop:
+            lengths = np.clip(
+                rng.lognormal(mean=np.log(35.0), sigma=0.6, size=args.batch),
+                5, args.steps,
+            ).astype(np.int32)
+            stop_override = jnp.asarray(lengths)
+            early_stop_eos = vocab.eos_id
+        decode_fn = make_fast_aster_greedy_fn(
             model, variables, max_steps=args.steps, tables=tables,
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
