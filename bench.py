@@ -233,6 +233,7 @@ def main(argv=None):
         return result
 
     tables = None if args.no_manager else RuleTables.build(vocab)
+    path_label = ""
     if args.fused and getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fused_greedy import make_fused_greedy_fn
 
@@ -253,6 +254,7 @@ def main(argv=None):
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
         fn = jax.jit(lambda v, im: decode_fn(im))
+        path_label = "fused, "
     elif getattr(model, "supports_fast_lstm_decode", False):
         from p4fr_tpu.decoding.fast_aster import make_fast_aster_greedy_fn
 
@@ -270,6 +272,7 @@ def main(argv=None):
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
         fn = jax.jit(lambda v, im: decode_fn(im))
+        path_label = "fast-lstm, "
     elif getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
 
@@ -293,6 +296,7 @@ def main(argv=None):
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
         fn = jax.jit(lambda v, im: decode_fn(im))
+        path_label = "pallas-v2, " if args.pallas_v2 else "fast-jnp, "
     else:
         fn = jax.jit(
             make_greedy_fn(
@@ -322,8 +326,7 @@ def main(argv=None):
                   f"(batch {args.batch}, {args.steps} steps, "
                   f"manager={'on' if tables is not None else 'off'}, "
                   + ("early-stop, " if args.early_stop else "")
-                  + ("pallas-v2, " if args.pallas_v2 else "")
-                  + ("fused, " if args.fused else "")
+                  + path_label
                   + f"{jax.default_backend()})",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
