@@ -253,7 +253,7 @@ def main(argv=None):
             model, variables, max_steps=args.steps, tables=tables,
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
-        fn = jax.jit(lambda v, im: decode_fn(im))
+        fn = jax.jit(decode_fn)
         path_label = "fused, "
     elif getattr(model, "supports_fast_lstm_decode", False):
         from p4fr_tpu.decoding.fast_aster import make_fast_aster_greedy_fn
@@ -271,7 +271,7 @@ def main(argv=None):
             model, variables, max_steps=args.steps, tables=tables,
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
-        fn = jax.jit(lambda v, im: decode_fn(im))
+        fn = jax.jit(decode_fn)
         path_label = "fast-lstm, "
     elif getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
@@ -295,7 +295,7 @@ def main(argv=None):
             use_pallas_v2=args.pallas_v2,
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
-        fn = jax.jit(lambda v, im: decode_fn(im))
+        fn = jax.jit(decode_fn)
         path_label = "pallas-v2, " if args.pallas_v2 else "fast-jnp, "
     else:
         fn = jax.jit(

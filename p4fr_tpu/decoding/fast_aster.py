@@ -130,11 +130,16 @@ def make_fast_aster_greedy_fn(
     ``make_fast_greedy_fn``: fn(images) -> tokens [B, max_steps]."""
     from p4fr_tpu.decoding import manager as dm
 
-    fast = build_fast_aster(model, variables)
     sos_id = model.sos_id
 
-    def fn(images):
-        src = model.apply(variables, images, method="encode")
+    def fn(*args):
+        if len(args) == 2:
+            vars_, images = args
+        else:
+            (images,) = args
+            vars_ = variables
+        fast = build_fast_aster(model, vars_)
+        src = model.apply(vars_, images, method="encode")
         batch = src.shape[0]
         src_, src_proj = precompute_aster_src(
             fast, src.astype(fast.w_gen.dtype)

@@ -319,10 +319,14 @@ def make_fast_greedy_fn(
     batch_tile: int = 8,
     stop_override: Optional[jnp.ndarray] = None,
 ):
-    """Greedy decode over the fast step. Returns fn(images) -> tokens.
+    """Greedy decode over the fast step.
 
-    Weights are fused at build time (so the returned fn closes over them);
-    the encoder still runs through the flax model.
+    The returned fn accepts ``fn(variables, images)`` (weights flow in as
+    jit ARGUMENTS — weight fusion traces inside, so the compiled program
+    carries no weight constants; closure-captured weights bloat the HLO
+    ~10x and overflow the remote compile service for large backbones) or
+    the legacy ``fn(images)`` (weights closed over — fine for tests/tiny
+    models).
 
     ``stop_override`` ([B] int32, requires ``early_stop_eos``) is a
     BENCHMARKING hook: sequence i is additionally marked done once
@@ -333,7 +337,6 @@ def make_fast_greedy_fn(
     """
     from p4fr_tpu.decoding import manager as dm
 
-    fast = build_fast_decoder(model, variables)
     sos_id = model.sos_id
     if use_pallas_v2:
         def step_fn(fast_, token, t, cross_kv, cache):
@@ -358,8 +361,14 @@ def make_fast_greedy_fn(
     if use_pallas_v2 and cache_len % 128 != 0:
         cache_len = ((cache_len + 127) // 128) * 128  # chunk alignment
 
-    def fn(images):
-        src = model.apply(variables, images, method="encode")
+    def fn(*args):
+        if len(args) == 2:
+            vars_, images = args
+        else:
+            (images,) = args
+            vars_ = variables
+        fast = build_fast_decoder(model, vars_)
+        src = model.apply(vars_, images, method="encode")
         batch = src.shape[0]
         cross_kv = precompute_cross_kv(fast, src.astype(fast.w_gen.dtype))
         cache = init_fast_cache(fast, batch, cache_len)

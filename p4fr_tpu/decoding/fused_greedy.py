@@ -53,35 +53,39 @@ def make_fused_greedy_fn(
         # compiled Pallas requires a TPU; fall back to the (slow but
         # correct) interpreter so the CLI option degrades gracefully
         interpret = True
-    fast = build_fast_decoder(model, variables)
-    vocab_size = int(fast.w_gen.shape[1])
+    vocab_size = int(model.num_classes)
     sos_id = int(model.sos_id)
     eos_id = int(tables.eos_id) if tables is not None else 0
-    params = build_fused_params(
-        fast, tables, max_steps=max_steps, vocab_size=vocab_size,
-        sos_id=sos_id, eos_id=eos_id,
-    )
-    param_arrays = tuple(params[:20])
+    nl, _, hidden = model.cache_spec()
     cache_len = ((max_steps + chunk - 1) // chunk) * chunk
-    nl = len(fast.layers)
-    hidden = int(fast.w_gen.shape[0])
 
     kw = dict(
-        head_num=params.head_num,
-        cache_outputs=params.cache_outputs,
+        head_num=model.cache_spec()[1],
+        cache_outputs=bool(getattr(model, "reference_parity", True)),
         use_manager=tables is not None,
-        sos_id=params.sos_id,
-        eos_id=params.eos_id,
-        lbrace_id=params.lbrace_id,
-        rbrace_id=params.rbrace_id,
+        sos_id=sos_id,
+        eos_id=eos_id,
+        lbrace_id=int(tables.lbrace_id) if tables is not None else 0,
+        rbrace_id=int(tables.rbrace_id) if tables is not None else 0,
         vocab_size=vocab_size,
         batch_tile=batch_tile,
         chunk=chunk,
         interpret=interpret,
     )
 
-    def fn(images):
-        src = model.apply(variables, images, method="encode")
+    def fn(*args):
+        if len(args) == 2:
+            vars_, images = args
+        else:
+            (images,) = args
+            vars_ = variables
+        fast = build_fast_decoder(model, vars_)
+        params = build_fused_params(
+            fast, tables, max_steps=max_steps, vocab_size=vocab_size,
+            sos_id=sos_id, eos_id=eos_id,
+        )
+        param_arrays = tuple(params[:20])
+        src = model.apply(vars_, images, method="encode")
         b0 = src.shape[0]
         # Mosaic's (CK, TB, H) -> (CK*TB, H) reshape needs TB to be a
         # multiple of the sublane tile (16 for bf16); pad the batch after

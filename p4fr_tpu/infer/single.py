@@ -138,7 +138,7 @@ def run_inference(
                     early_stop_eos=vocab.eos_id if early_stop else None,
                     use_pallas_v2=(kernel == "pallas_v2"),
                 )
-            decode_fn = lambda v, im: fused(im)  # noqa: E731
+            decode_fn = fused  # fn(variables, images)
         elif (
             kernel != "generic"
             and getattr(model, "supports_fast_lstm_decode", False)
@@ -151,7 +151,7 @@ def run_inference(
                 model, variables, max_steps=num_steps, tables=tables,
                 early_stop_eos=vocab.eos_id if early_stop else None,
             )
-            decode_fn = lambda v, im: fused(im)  # noqa: E731
+            decode_fn = fused  # fn(variables, images)
         else:
             decode_fn = make_greedy_fn(
                 model, max_steps=num_steps, tables=tables,
