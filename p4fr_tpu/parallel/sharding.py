@@ -99,7 +99,10 @@ def make_sharded_infer_fn(decode_fn: Callable, mesh: Mesh) -> Callable:
     program — including Pallas kernels, which the GSPMD partitioner
     cannot split through a ``pallas_call`` — with zero collectives.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.6
+    except ImportError:  # pragma: no cover - older jax
+        from jax.experimental.shard_map import shard_map
 
     # params replicate (P() leaves), the image batch shards over `data`
     data_spec = P("data")
