@@ -100,9 +100,11 @@ def make_sharded_infer_fn(decode_fn: Callable, mesh: Mesh) -> Callable:
     cannot split through a ``pallas_call`` — with zero collectives.
     """
     try:
-        from jax import shard_map  # jax >= 0.6
+        from jax import shard_map  # jax >= 0.6 (check_vma kwarg)
+        rep_kw = {"check_vma": False}
     except ImportError:  # pragma: no cover - older jax
         from jax.experimental.shard_map import shard_map
+        rep_kw = {"check_rep": False}
 
     # params replicate (P() leaves), the image batch shards over `data`
     data_spec = P("data")
@@ -114,7 +116,7 @@ def make_sharded_infer_fn(decode_fn: Callable, mesh: Mesh) -> Callable:
             mesh=mesh,
             in_specs=(repl_spec, data_spec),
             out_specs=data_spec,
-            check_rep=False,
+            **rep_kw,
         )
     )
 
