@@ -28,6 +28,19 @@ import numpy as np
 REFERENCE_GPU_IMG_PER_SEC = 20.0  # see BASELINE_MEASUREMENT.md
 
 
+def _wrap(jax, decode_fn, variables):
+    """jit the decode fn with weights baked as constants for small models
+    (fastest dispatch: ~4% at B=256) but passed as ARGUMENTS for large
+    ones (closure constants inline into the HLO and overflow the remote
+    compile service around ~50M params — measured with Swin-B/384)."""
+    n_params = sum(
+        int(x.size) for x in jax.tree_util.tree_leaves(variables)
+    )
+    if n_params > 40_000_000:
+        return jax.jit(decode_fn)
+    return jax.jit(lambda v, im: decode_fn(im))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -253,7 +266,7 @@ def main(argv=None):
             model, variables, max_steps=args.steps, tables=tables,
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
-        fn = jax.jit(decode_fn)
+        fn = _wrap(jax, decode_fn, variables)
         path_label = "fused, "
     elif getattr(model, "supports_fast_lstm_decode", False):
         from p4fr_tpu.decoding.fast_aster import make_fast_aster_greedy_fn
@@ -271,7 +284,7 @@ def main(argv=None):
             model, variables, max_steps=args.steps, tables=tables,
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
-        fn = jax.jit(decode_fn)
+        fn = _wrap(jax, decode_fn, variables)
         path_label = "fast-lstm, "
     elif getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
@@ -295,7 +308,7 @@ def main(argv=None):
             use_pallas_v2=args.pallas_v2,
             early_stop_eos=early_stop_eos, stop_override=stop_override,
         )
-        fn = jax.jit(decode_fn)
+        fn = _wrap(jax, decode_fn, variables)
         path_label = "pallas-v2, " if args.pallas_v2 else "fast-jnp, "
     else:
         fn = jax.jit(

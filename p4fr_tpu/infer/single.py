@@ -113,6 +113,7 @@ def run_inference(
     tables = RuleTables.build(vocab) if decoding_manager else None
     num_steps = max_sequence + 1  # reference: len(dummy encoded) - 1
 
+    dual_sig = False
     if decode_type == "greedy":
         if getattr(model, "supports_fast_decode", False):
             import jax
@@ -138,7 +139,8 @@ def run_inference(
                     early_stop_eos=vocab.eos_id if early_stop else None,
                     use_pallas_v2=(kernel == "pallas_v2"),
                 )
-            decode_fn = fused  # fn(variables, images)
+            decode_fn = fused  # dual signature
+            dual_sig = True
         elif (
             kernel != "generic"
             and getattr(model, "supports_fast_lstm_decode", False)
@@ -151,7 +153,8 @@ def run_inference(
                 model, variables, max_steps=num_steps, tables=tables,
                 early_stop_eos=vocab.eos_id if early_stop else None,
             )
-            decode_fn = fused  # fn(variables, images)
+            decode_fn = fused  # dual signature
+            dual_sig = True
         else:
             decode_fn = make_greedy_fn(
                 model, max_steps=num_steps, tables=tables,
@@ -168,6 +171,16 @@ def run_inference(
         )
     else:
         raise ValueError(f"decode_type {decode_type}")
+
+    # weights baked as constants for small models (fastest dispatch),
+    # passed as jit arguments for large ones (closure constants inline
+    # into the HLO — Swin-B/384 overflows the compile service otherwise)
+    n_params = sum(
+        int(x.size) for x in jax.tree_util.tree_leaves(variables)
+    )
+    if n_params <= 40_000_000 and dual_sig:
+        inner = decode_fn
+        decode_fn = lambda v, im: inner(im)  # noqa: E731
 
     if mesh is not None:
         from p4fr_tpu.parallel.sharding import make_sharded_infer_fn
