@@ -75,7 +75,8 @@ def kd_loss(
 def make_distill_step(student, teacher, teacher_variables, optimizer):
     """Jitted step: teacher AR logits (no-grad) + student TF/AR + KD loss."""
 
-    @functools.partial(jax.jit, static_argnames=("teacher_forced",))
+    @functools.partial(jax.jit, static_argnames=("teacher_forced",),
+                       donate_argnums=(0,))
     def step(state, student_images, teacher_images, text, rng,
              teacher_forced=True):
         num_steps = text.shape[1] - 1

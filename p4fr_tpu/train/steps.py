@@ -123,9 +123,13 @@ def make_train_step(
 
     ``teacher_forced`` is a host bool -> two jit specializations.
     Output: (new_state, metrics dict with loss/grad_norm, sequences).
+
+    The input ``state`` is DONATED (its buffers are reused for the new
+    state — params/opt-state never copy); don't read it after the call.
     """
 
-    @functools.partial(jax.jit, static_argnames=("teacher_forced",))
+    @functools.partial(jax.jit, static_argnames=("teacher_forced",),
+                       donate_argnums=(0,))
     def train_step(
         state: TrainState,
         images: jnp.ndarray,

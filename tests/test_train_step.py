@@ -65,6 +65,8 @@ def test_teacher_forced_training_reduces_loss():
 def test_ar_branch_trains_too():
     model, opt, state, images, text = _init()
     step_fn = make_train_step(model, opt, PAD)
+    # the step DONATES its input state; keep a host copy for comparison
+    init_params = jax.tree_util.tree_map(np.asarray, state.params)
     state1 = state
     for i in range(3):  # lr warms up from exactly 0 at step 0
         state1, m1, _ = step_fn(
@@ -75,7 +77,7 @@ def test_ar_branch_trains_too():
     # params actually moved
     moved = jax.tree_util.tree_map(
         lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
-        state.params,
+        init_params,
         state1.params,
     )
     assert any(jax.tree_util.tree_leaves(moved))
