@@ -28,6 +28,21 @@ import numpy as np
 REFERENCE_GPU_IMG_PER_SEC = 20.0  # see BASELINE_MEASUREMENT.md
 
 
+def _synthetic_stops(args, vocab, rng, jnp):
+    """--early-stop: per-sequence stop steps from a realistic formula
+    length distribution (competition mean ~40 tokens; lognormal clipped
+    to [5, steps]) for the documented stop_override benchmarking hook."""
+    if not args.early_stop:
+        return None, None
+    lengths = np.clip(
+        rng.lognormal(mean=np.log(35.0), sigma=0.6, size=args.batch),
+        5, args.steps,
+    ).astype(np.int32)
+    print(f"# early-stop: synthetic lengths mean={lengths.mean():.1f} "
+          f"p95={np.percentile(lengths, 95):.0f}", file=sys.stderr)
+    return jnp.asarray(lengths), vocab.eos_id
+
+
 def _wrap(jax, decode_fn, variables):
     """jit the decode fn with weights baked as constants for small models
     (fastest dispatch: ~4% at B=256) but passed as ARGUMENTS for large
@@ -36,7 +51,9 @@ def _wrap(jax, decode_fn, variables):
     n_params = sum(
         int(x.size) for x in jax.tree_util.tree_leaves(variables)
     )
-    if n_params > 40_000_000:
+    from p4fr_tpu.decoding.fast_step import CLOSURE_PARAM_LIMIT
+
+    if n_params > CLOSURE_PARAM_LIMIT:
         return jax.jit(decode_fn)
     return jax.jit(lambda v, im: decode_fn(im))
 
@@ -200,10 +217,13 @@ def main(argv=None):
             rng.normal(size=(batch, h, w, 3)).astype(np.float32)
         )
         ll = args.label_len if not args.quick else 12
+        if ll < 4:
+            parser.error("--label-len must be >= 4 (SOS + token + EOS + PAD)")
+        pad_tail = min(8, ll - 3)  # keep room for SOS ... EOS
         labels = rng.integers(4, 200, size=(batch, ll)).astype(np.int32)
         labels[:, 0] = vocab.sos_id
-        labels[:, -8:] = vocab.pad_id
-        labels[:, -9] = vocab.eos_id
+        labels[:, -pad_tail:] = vocab.pad_id
+        labels[:, -(pad_tail + 1)] = vocab.eos_id
         labels_t = jnp.asarray(labels)
 
         optimizer = build_optimizer("AdamW", 5e-4, weight_decay=1e-6,
@@ -250,18 +270,8 @@ def main(argv=None):
     if args.fused and getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fused_greedy import make_fused_greedy_fn
 
-        stop_override = None
-        early_stop_eos = None
-        if args.early_stop:
-            lengths = np.clip(
-                rng.lognormal(mean=np.log(35.0), sigma=0.6, size=args.batch),
-                5, args.steps,
-            ).astype(np.int32)
-            stop_override = jnp.asarray(lengths)
-            early_stop_eos = vocab.eos_id
-            print(f"# early-stop: synthetic lengths mean="
-                  f"{lengths.mean():.1f} p95={np.percentile(lengths, 95):.0f}",
-                  file=sys.stderr)
+        stop_override, early_stop_eos = _synthetic_stops(
+            args, vocab, rng, jnp)
         decode_fn = make_fused_greedy_fn(
             model, variables, max_steps=args.steps, tables=tables,
             early_stop_eos=early_stop_eos, stop_override=stop_override,
@@ -271,15 +281,8 @@ def main(argv=None):
     elif getattr(model, "supports_fast_lstm_decode", False):
         from p4fr_tpu.decoding.fast_aster import make_fast_aster_greedy_fn
 
-        stop_override = None
-        early_stop_eos = None
-        if args.early_stop:
-            lengths = np.clip(
-                rng.lognormal(mean=np.log(35.0), sigma=0.6, size=args.batch),
-                5, args.steps,
-            ).astype(np.int32)
-            stop_override = jnp.asarray(lengths)
-            early_stop_eos = vocab.eos_id
+        stop_override, early_stop_eos = _synthetic_stops(
+            args, vocab, rng, jnp)
         decode_fn = make_fast_aster_greedy_fn(
             model, variables, max_steps=args.steps, tables=tables,
             early_stop_eos=early_stop_eos, stop_override=stop_override,
@@ -289,20 +292,8 @@ def main(argv=None):
     elif getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
 
-        stop_override = None
-        early_stop_eos = None
-        if args.early_stop:
-            # realistic formula-length distribution (competition mean ~40
-            # tokens): lognormal clipped to [5, steps]
-            lengths = np.clip(
-                rng.lognormal(mean=np.log(35.0), sigma=0.6, size=args.batch),
-                5, args.steps,
-            ).astype(np.int32)
-            stop_override = jnp.asarray(lengths)
-            early_stop_eos = vocab.eos_id
-            print(f"# early-stop: synthetic lengths mean="
-                  f"{lengths.mean():.1f} p95={np.percentile(lengths, 95):.0f}",
-                  file=sys.stderr)
+        stop_override, early_stop_eos = _synthetic_stops(
+            args, vocab, rng, jnp)
         decode_fn = make_fast_greedy_fn(
             model, variables, max_steps=args.steps, tables=tables,
             use_pallas_v2=args.pallas_v2,

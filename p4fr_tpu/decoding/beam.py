@@ -53,10 +53,9 @@ def make_beam_fn(
     sos_id = model.sos_id
     pad_id = model.pad_id if pad_id is None else pad_id
     W = beam_width
-    if kernel == "auto":
-        kernel = "pallas_v2" if jax.default_backend() == "tpu" else "jnp"
-    if kernel == "pallas_v2" and jax.default_backend() != "tpu":
-        kernel = "jnp"
+    from p4fr_tpu.decoding.fast_step import resolve_kernel
+
+    kernel = resolve_kernel(kernel)
     use_fast = kernel != "generic" and getattr(
         model, "supports_fast_decode", False
     )
@@ -87,8 +86,12 @@ def make_beam_fn(
                 fast, src_tiled.astype(fast.w_gen.dtype)
             )
             cache = init_fast_cache(fast, BW, cache_len)
+            # the Pallas kernel wants full 16-row batch tiles; a ragged
+            # B*W would degrade its divisor fallback to tiny tiles, so
+            # use the (token-identical-class) jnp step instead
             raw_step = (
-                pallas_decode_step_v2 if kernel == "pallas_v2"
+                pallas_decode_step_v2
+                if kernel == "pallas_v2" and BW % 16 == 0
                 else fast_decode_step
             )
 

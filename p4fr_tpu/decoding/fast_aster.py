@@ -131,6 +131,12 @@ def make_fast_aster_greedy_fn(
     from p4fr_tpu.decoding import manager as dm
 
     sos_id = model.sos_id
+    if stop_override is not None and early_stop_eos is None:
+        raise ValueError(
+            "stop_override requires early_stop_eos (it gates the "
+            "early-exit while_loop; without it the fixed-length scan "
+            "would silently ignore the injected stop steps)"
+        )
 
     def fn(*args):
         if len(args) == 2:

@@ -27,6 +27,27 @@ import jax.numpy as jnp
 import numpy as np
 
 from p4fr_tpu.ops.attention import NEG_INF
+
+# Above this many parameters, weights must flow into jit as ARGUMENTS:
+# closure-captured weights inline into the HLO as literals (~10x IR
+# bloat; Swin-B/384 overflows the remote compile service). Below it,
+# closure constants dispatch ~4% faster per call.
+CLOSURE_PARAM_LIMIT = 40_000_000
+
+
+def resolve_kernel(kernel: str) -> str:
+    """Normalize a --kernel choice: "auto" -> "pallas_v2" on TPU / "jnp"
+    elsewhere; an explicit "pallas_v2" degrades to "jnp" off-TPU
+    (compiled Pallas needs the hardware; the jnp fast path is the same
+    numeric class). "jnp"/"generic"/"fused" pass through."""
+    import jax
+
+    if kernel == "auto":
+        return "pallas_v2" if jax.default_backend() == "tpu" else "jnp"
+    if kernel == "pallas_v2" and jax.default_backend() != "tpu":
+        return "jnp"
+    return kernel
+
 from p4fr_tpu.ops.posenc import sinusoid_interleaved
 
 
@@ -338,6 +359,12 @@ def make_fast_greedy_fn(
     from p4fr_tpu.decoding import manager as dm
 
     sos_id = model.sos_id
+    if stop_override is not None and early_stop_eos is None:
+        raise ValueError(
+            "stop_override requires early_stop_eos (it gates the "
+            "early-exit while_loop; without it the fixed-length scan "
+            "would silently ignore the injected stop steps)"
+        )
     if use_pallas_v2:
         def step_fn(fast_, token, t, cross_kv, cache):
             return pallas_decode_step_v2(fast_, token, t, cross_kv, cache)
@@ -369,7 +396,16 @@ def make_fast_greedy_fn(
             vars_ = variables
         fast = build_fast_decoder(model, vars_)
         src = model.apply(vars_, images, method="encode")
-        batch = src.shape[0]
+        b0 = src.shape[0]
+        batch = b0
+        if use_pallas_v2:
+            # keep the kernel's batch tiles full: a prime/odd batch would
+            # degrade the largest-divisor tile fallback to tb=1 (an
+            # order-of-magnitude slowdown); pad post-encoder and slice
+            # the tokens back instead
+            batch = ((b0 + 15) // 16) * 16
+            if batch != b0:
+                src = jnp.pad(src, ((0, batch - b0), (0, 0), (0, 0)))
         cross_kv = precompute_cross_kv(fast, src.astype(fast.w_gen.dtype))
         cache = init_fast_cache(fast, batch, cache_len)
         token0 = jnp.full((batch,), sos_id, jnp.int32)
@@ -377,7 +413,7 @@ def make_fast_greedy_fn(
         if early_stop_eos is not None:
             out_buf = jnp.full((batch, max_steps), early_stop_eos, jnp.int32)
             mstate0 = dm.init_state(batch, tables) if tables is not None else None
-            done0 = jnp.zeros((batch,), bool)
+            done0 = jnp.arange(batch) >= b0  # pad rows never gate exit
 
             def cond(carry):
                 t, *_ = carry
@@ -398,7 +434,7 @@ def make_fast_greedy_fn(
 
             carry = (jnp.asarray(0), token0, cache, mstate0, done0, out_buf)
             *_, out_buf = jax.lax.while_loop(cond, body, carry)
-            return out_buf
+            return out_buf[:b0]
 
         if tables is not None:
             mstate0 = dm.init_state(batch, tables)
@@ -421,6 +457,6 @@ def make_fast_greedy_fn(
             carry0 = (token0, cache)
 
         _, tokens = jax.lax.scan(body, carry0, jnp.arange(max_steps))
-        return tokens.T
+        return tokens.T[:b0]
 
     return fn

@@ -49,6 +49,12 @@ def make_fused_greedy_fn(
     the <EOS> padding, like make_fast_greedy_fn's). ``stop_override`` is
     the same benchmarking hook as fast_step's (see its docstring).
     """
+    if stop_override is not None and early_stop_eos is None:
+        raise ValueError(
+            "stop_override requires early_stop_eos (it gates the "
+            "early-exit while_loop; without it the fixed-length scan "
+            "would silently ignore the injected stop steps)"
+        )
     if not interpret and jax.default_backend() != "tpu":
         # compiled Pallas requires a TPU; fall back to the (slow but
         # correct) interpreter so the CLI option degrades gracefully

@@ -58,15 +58,14 @@ def make_ensemble_decode_fn(
     Members without a fast decode contract (e.g. ASTER's LSTM decoder)
     always use their generic ``decode_step``.
     """
+    from p4fr_tpu.decoding.fast_step import resolve_kernel
+
     sos_id = models[0].sos_id
-    if kernel == "auto":
-        kernel = "pallas_v2" if jax.default_backend() == "tpu" else "jnp"
-    elif kernel == "fused":
+    if kernel == "fused":
         # the single-launch fused kernel argmaxes internally — ensemble
         # averaging needs per-model probs, so use the per-layer kernel
         kernel = "pallas_v2"
-    if kernel == "pallas_v2" and jax.default_backend() != "tpu":
-        kernel = "jnp"  # compiled Pallas needs a TPU
+    kernel = resolve_kernel(kernel)
 
     def fn(variables_list, memories):
         from p4fr_tpu.decoding.fast_step import (
@@ -78,8 +77,12 @@ def make_ensemble_decode_fn(
         )
 
         batch = memories[0].shape[0]
+        # the Pallas kernel wants full 16-row batch tiles (e.g. a small
+        # per-shard batch under data parallelism); the jnp fast step is
+        # the same numeric class, so degrade rather than tile raggedly
+        kern = "jnp" if (kernel == "pallas_v2" and batch % 16) else kernel
         model_fast = [
-            kernel != "generic"
+            kern != "generic"
             and getattr(m, "supports_fast_decode", False)
             for m in models
         ]
@@ -90,7 +93,7 @@ def make_ensemble_decode_fn(
             if is_fast:
                 fast = build_fast_decoder(m, v)
                 cache_len = max_steps
-                if kernel == "pallas_v2" and cache_len % 128:
+                if kern == "pallas_v2" and cache_len % 128:
                     cache_len = ((cache_len + 127) // 128) * 128
                 fasts.append(fast)
                 src_kvs.append(
@@ -99,7 +102,7 @@ def make_ensemble_decode_fn(
                 caches.append(init_fast_cache(fast, batch, cache_len))
                 step = (
                     pallas_decode_step_v2
-                    if kernel == "pallas_v2"
+                    if kern == "pallas_v2"
                     else fast_decode_step
                 )
                 steps.append(
@@ -107,7 +110,7 @@ def make_ensemble_decode_fn(
                         fast, tok, t, ckv, c
                     )
                 )
-            elif kernel != "generic" and getattr(
+            elif kern != "generic" and getattr(
                 m, "supports_fast_lstm_decode", False
             ):
                 from p4fr_tpu.decoding.fast_aster import (

@@ -116,12 +116,10 @@ def run_inference(
     dual_sig = False
     if decode_type == "greedy":
         if getattr(model, "supports_fast_decode", False):
-            import jax
+            from p4fr_tpu.decoding.fast_step import resolve_kernel
 
-            if kernel == "auto":
-                kernel = (
-                    "pallas_v2" if jax.default_backend() == "tpu" else "jnp"
-                )
+            if kernel != "fused":
+                kernel = resolve_kernel(kernel)
             if kernel == "fused":
                 from p4fr_tpu.decoding.fused_greedy import (
                     make_fused_greedy_fn,
@@ -175,10 +173,12 @@ def run_inference(
     # weights baked as constants for small models (fastest dispatch),
     # passed as jit arguments for large ones (closure constants inline
     # into the HLO — Swin-B/384 overflows the compile service otherwise)
+    from p4fr_tpu.decoding.fast_step import CLOSURE_PARAM_LIMIT
+
     n_params = sum(
         int(x.size) for x in jax.tree_util.tree_leaves(variables)
     )
-    if n_params <= 40_000_000 and dual_sig:
+    if n_params <= CLOSURE_PARAM_LIMIT and dual_sig:
         inner = decode_fn
         decode_fn = lambda v, im: inner(im)  # noqa: E731
 

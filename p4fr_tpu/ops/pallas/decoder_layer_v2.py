@@ -270,11 +270,14 @@ def decoder_layer_step_v2(
 ):
     """Flash-decode fused layer step -> (out [B, H], new cache).
 
-    Defaults tuned on v5e: tb=16/ck=128 measured ~6% faster per step than
-    tb=16/ck=64. tb=32/ck=128 is another ~9% faster in isolation but
-    exceeds the 16MB VMEM scoped limit by 64K inside the full greedy
-    program; tb=64 exceeds VMEM outright. ``batch_tile`` falls back to
-    the largest divisor of B when B is not a multiple of it.
+    Defaults tuned on v5e with bf16 compute (1-layer 230-step scan):
+    tb=32/ck=64 199us/step vs tb=16/ck=64 203 and tb=16/ck=128 207;
+    tb=64/ck=64 is fastest standalone (185) but exceeds the 16MB scoped
+    VMEM limit inside the full greedy program (the auto-pipelined src_kv
+    block costs a second buffer there). ``batch_tile`` falls back to the
+    largest divisor of B when B is not a multiple of it — callers should
+    pad the batch to a multiple of 16 instead of relying on that
+    (make_fast_greedy_fn does; see its v2 padding).
     """
     b, hidden = x.shape
     tb = min(batch_tile, b)

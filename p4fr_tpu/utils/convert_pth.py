@@ -549,22 +549,36 @@ def bootstrap_pretrained(variables, network: str, pretrained_cfg) -> Dict:
     - ``swin``: path to swin_base_patch4_window12_384_22k.pth
       (reference: SWIN.py:1028-1034)
 
-    Returns (possibly new) variables; no-op when no path applies.
+    Returns (possibly new) variables. Raises instead of silently training
+    from random init when ``pretrained_cfg`` is set but unusable (wrong
+    type, unknown network, or no matching key) — a silent no-op here
+    costs a full training run before anyone notices.
     """
-    get = (pretrained_cfg.get if hasattr(pretrained_cfg, "get")
-           else lambda k, d=None: d)
+    if not hasattr(pretrained_cfg, "get"):
+        raise ValueError(
+            "pretrained config must be a mapping with keys "
+            "'efficientnetv2' and/or 'swin' (got "
+            f"{type(pretrained_cfg).__name__}: {pretrained_cfg!r}); e.g. "
+            "pretrained: {efficientnetv2: /path/to/timm.pth}"
+        )
+    get = pretrained_cfg.get
     path = _BACKBONE_PATHS.get(network)
     if path is None:
-        return variables
-    if network in ("SWIN", "SwinTRN"):
-        src = get("swin")
-        if not src:
-            return variables
+        raise ValueError(
+            f"network {network!r} has no pretrained-backbone graft point "
+            f"(known: {sorted(_BACKBONE_PATHS)}); remove the 'pretrained' "
+            "config entry"
+        )
+    key = "swin" if network in ("SWIN", "SwinTRN") else "efficientnetv2"
+    src = get(key)
+    if not src:
+        raise ValueError(
+            f"'pretrained' is set but has no {key!r} entry for network "
+            f"{network!r} (got keys {sorted(pretrained_cfg)})"
+        )
+    if key == "swin":
         params, stats, _ = convert_swin_hub(src)
     else:
-        src = get("efficientnetv2")
-        if not src:
-            return variables
         params, stats, _ = convert_timm_efficientnetv2(src)
     return graft_backbone(dict(variables), params, stats, path)
 
