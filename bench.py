@@ -120,7 +120,10 @@ def main(argv=None):
                      "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)));"
                      "import sys; sys.exit(0 if jax.default_backend() "
                      "== 'tpu' else 3)"],
-                    timeout=120,
+                    # generous: on a contended single CPU core, jax import
+                    # alone can take minutes (measured: concurrent pytest
+                    # starves a 120s probe into false negatives)
+                    timeout=300,
                     capture_output=True,
                 )
                 ok = probe.returncode == 0
