@@ -90,3 +90,27 @@ def test_fast_greedy_early_stop(vocab):
         la = ta.index(vocab.eos_id) if vocab.eos_id in ta else len(ta)
         lb = tb.index(vocab.eos_id) if vocab.eos_id in tb else len(tb)
         assert ta[:la] == tb[:lb]
+
+
+def test_pallas_v2_pads_odd_batches(vocab):
+    """An odd/prime batch must not degrade the v2 kernel to tb=1 tiles:
+    make_fast_greedy_fn pads post-encoder to a multiple of 16 and slices
+    tokens back. Interpret mode; tokens must equal the jnp fast path."""
+    import numpy as np
+    from helpers import synth_images, synth_labels, tiny_satrn
+
+    model = tiny_satrn()
+    B = 3  # not a multiple of 16
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 6))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    T = 8
+    ref = make_fast_greedy_fn(model, variables, max_steps=T)(images)
+    got = make_fast_greedy_fn(
+        model, variables, max_steps=T, use_pallas_v2=True
+    )(images)
+    assert got.shape == (B, T)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
