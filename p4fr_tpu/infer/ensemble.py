@@ -86,7 +86,7 @@ def make_ensemble_decode_fn(
             and getattr(m, "supports_fast_decode", False)
             for m in models
         ]
-        fasts, src_kvs, caches, steps = [], [], [], []
+        src_kvs, caches, steps = [], [], []
         for m, v, mem, is_fast in zip(
             models, variables_list, memories, model_fast
         ):
@@ -95,7 +95,6 @@ def make_ensemble_decode_fn(
                 cache_len = max_steps
                 if kern == "pallas_v2" and cache_len % 128:
                     cache_len = ((cache_len + 127) // 128) * 128
-                fasts.append(fast)
                 src_kvs.append(
                     precompute_cross_kv(fast, mem.astype(fast.w_gen.dtype))
                 )
@@ -121,7 +120,6 @@ def make_ensemble_decode_fn(
                 )
 
                 fa = build_fast_aster(m, v)
-                fasts.append(fa)
                 src_kvs.append(
                     precompute_aster_src(fa, mem.astype(fa.w_gen.dtype))
                 )
@@ -132,7 +130,6 @@ def make_ensemble_decode_fn(
                     )
                 )
             else:
-                fasts.append(None)
                 src_kvs.append(m.apply(v, mem, method="precompute_src"))
                 caches.append(m.init_decode_cache(batch, max_steps))
                 steps.append(

@@ -457,3 +457,18 @@ def test_swin_hub_import_grafts_into_swintrn():
     grafted = graft_backbone(dict(variables), params, {}, ("encoder",))
     logits = model.apply(grafted, images, text, train=False)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_bootstrap_pretrained_raises_loudly():
+    """A set-but-unusable 'pretrained' config must raise, not silently
+    train from random init (a silent no-op costs a full training run)."""
+    import pytest
+
+    from p4fr_tpu.utils.convert_pth import bootstrap_pretrained
+
+    with pytest.raises(ValueError, match="mapping"):
+        bootstrap_pretrained({}, "EfficientSATRN", "/just/a/string.pth")
+    with pytest.raises(ValueError, match="graft point"):
+        bootstrap_pretrained({}, "LiteSATRN", {"efficientnetv2": "x.pth"})
+    with pytest.raises(ValueError, match="no 'efficientnetv2' entry"):
+        bootstrap_pretrained({}, "EfficientSATRN", {"swin": "x.pth"})
