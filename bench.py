@@ -67,7 +67,9 @@ def main(argv=None):
                         "large batches amortize (32=reference default; "
                         "256 measured best-throughput on v5e)")
     parser.add_argument("--steps", type=int, default=230)
-    parser.add_argument("--iters", type=int, default=3)
+    parser.add_argument("--iters", type=int, default=8,
+                        help="batches enqueued for the pipelined "
+                        "throughput measurement")
     parser.add_argument("--no-manager", action="store_true")
     parser.add_argument("--network", default="EfficientSATRN")
     parser.add_argument("--train", action="store_true",
@@ -245,27 +247,28 @@ def main(argv=None):
                                        teacher_forced=True)
         np.asarray(metrics["loss"])
         compile_s = time.perf_counter() - t0
-        times = []
+        # steady-state: enqueue the whole step chain (state-dependent, so
+        # it pipelines on-device), sync once — per-step host syncs would
+        # add a fixed tunnel round trip to every step
+        t0 = time.perf_counter()
         for _ in range(args.iters):
-            t0 = time.perf_counter()
             state, metrics, _ = train_step(
                 state, images_t, labels_t, rng_key, teacher_forced=True
             )
-            np.asarray(metrics["loss"])
-            times.append(time.perf_counter() - t0)
-        best = min(times)
+        loss = float(np.asarray(metrics["loss"]))
+        per_step = (time.perf_counter() - t0) / args.iters
         result = {
             "metric": f"{args.network} teacher-forced train step "
                       f"(batch {batch}, labels {ll}, AdamW, "
+                      f"pipelined x{args.iters}, "
                       f"{jax.default_backend()})",
-            "value": round(batch / best, 2),
+            "value": round(batch / per_step, 2),
             "unit": "images/sec/chip",
             "vs_baseline": None,  # reference publishes no train throughput
         }
         print(json.dumps(result))
-        print(f"# compile {compile_s:.1f}s | step times "
-              f"{['%.3f' % t for t in times]} | loss "
-              f"{float(metrics['loss']):.3f}", file=sys.stderr)
+        print(f"# compile {compile_s:.1f}s | {per_step*1e3:.0f} ms/step | "
+              f"loss {loss:.3f}", file=sys.stderr)
         return result
 
     tables = None if args.no_manager else RuleTables.build(vocab)
@@ -320,13 +323,23 @@ def main(argv=None):
     np.asarray(fn(variables, images))
     compile_s = time.perf_counter() - t0
 
-    times = []
-    for _ in range(args.iters):
-        t0 = time.perf_counter()
-        np.asarray(fn(variables, images))
-        times.append(time.perf_counter() - t0)
-    best = min(times)
-    img_per_sec = args.batch / best
+    # single-batch latency (per-call host sync — through the axon tunnel
+    # this includes a large fixed round-trip cost per call)
+    t0 = time.perf_counter()
+    np.asarray(fn(variables, images))
+    single_s = time.perf_counter() - t0
+
+    # throughput: enqueue all batches (async dispatch pipelines them),
+    # then bring EVERY result to host; wall-clock over the whole block.
+    # This is the standard offline-serving scenario and what a pipelined
+    # production consumer achieves; profiling showed the per-call sync
+    # above is dominated by fixed tunnel overhead, not device work.
+    t0 = time.perf_counter()
+    outs = [fn(variables, images) for _ in range(args.iters)]
+    for o in outs:
+        np.asarray(o)
+    total = time.perf_counter() - t0
+    img_per_sec = args.batch * args.iters / total
 
     result = {
         "metric": f"{args.network} greedy decode throughput "
@@ -334,6 +347,7 @@ def main(argv=None):
                   f"manager={'on' if tables is not None else 'off'}, "
                   + ("early-stop, " if args.early_stop else "")
                   + path_label
+                  + f"pipelined x{args.iters}, "
                   + f"{jax.default_backend()})",
         "value": round(img_per_sec, 2),
         "unit": "images/sec/chip",
@@ -341,7 +355,9 @@ def main(argv=None):
     }
     print(json.dumps(result))
     print(
-        f"# compile {compile_s:.1f}s | step times {['%.3f' % t for t in times]}",
+        f"# compile {compile_s:.1f}s | single-batch latency "
+        f"{single_s*1e3:.0f} ms ({args.batch/single_s:.0f} img/s synced) | "
+        f"pipelined {total/args.iters*1e3:.0f} ms/batch",
         file=sys.stderr,
     )
     return result
