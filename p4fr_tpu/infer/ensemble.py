@@ -256,6 +256,22 @@ def run_ensemble(
 
     results: List[Tuple[str, str]] = []
     start = time.perf_counter()
+
+    def flush(pending):
+        tokens, chunk = pending
+        strs = id_to_string(
+            np.asarray(tokens)[: len(chunk)],
+            vocab.id_to_token,
+            sos_id=vocab.sos_id,
+            eos_id=vocab.eos_id,
+            pad_id=vocab.pad_id,
+            do_eval=True,
+        )
+        results.extend(zip(chunk, strs))
+
+    # double-buffered like run_inference: the next chunk's host-side
+    # image loading + device decode overlap the previous chunk's fetch
+    pending = None
     for chunk_start in range(0, len(names), batch_size):
         chunk = names[chunk_start : chunk_start + batch_size]
         count = len(chunk)
@@ -274,16 +290,12 @@ def run_ensemble(
                 ]
             ).astype(np.float32)
             memories.append(encoders[len(memories)](variables, jnp.asarray(imgs)))
-        tokens = np.asarray(decode(variables_list, memories))
-        strs = id_to_string(
-            tokens[:count],
-            vocab.id_to_token,
-            sos_id=vocab.sos_id,
-            eos_id=vocab.eos_id,
-            pad_id=vocab.pad_id,
-            do_eval=True,
-        )
-        results.extend(zip(chunk, strs))
+        tokens = decode(variables_list, memories)
+        if pending is not None:
+            flush(pending)
+        pending = (tokens, chunk)
+    if pending is not None:
+        flush(pending)
     elapsed = time.perf_counter() - start
 
     os.makedirs(output_dir, exist_ok=True)

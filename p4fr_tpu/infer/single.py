@@ -192,10 +192,10 @@ def run_inference(
     results: List[Tuple[str, str]] = []
     start = time.perf_counter()
     n_images = 0
-    for batch in loader:
-        images = jnp.asarray(batch["image"])
-        tokens = np.asarray(fn(variables, images))
-        count = batch["count"]
+
+    def flush(pending):
+        tokens, count, paths = pending
+        tokens = np.asarray(tokens)  # device->host sync happens here
         strs = id_to_string(
             tokens[:count],
             vocab.id_to_token,
@@ -204,8 +204,22 @@ def run_inference(
             pad_id=vocab.pad_id,
             do_eval=True,
         )
-        results.extend(zip(batch["file_path"][:count], strs))
+        results.extend(zip(paths, strs))
+
+    # double-buffered: enqueue batch k+1's decode (async dispatch)
+    # before fetching batch k's tokens, so host image loading and the
+    # device->host sync overlap with device compute
+    pending = None
+    for batch in loader:
+        images = jnp.asarray(batch["image"])
+        tokens = fn(variables, images)
+        if pending is not None:
+            flush(pending)
+        count = batch["count"]
+        pending = (tokens, count, batch["file_path"][:count])
         n_images += count
+    if pending is not None:
+        flush(pending)
     elapsed = time.perf_counter() - start
 
     os.makedirs(output_dir, exist_ok=True)
