@@ -89,9 +89,11 @@ def make_beam_fn(
             # the Pallas kernel wants full 16-row batch tiles; a ragged
             # B*W would degrade its divisor fallback to tiny tiles, so
             # use the (token-identical-class) jnp step instead
+            hidden = int(fast.w_gen.shape[0])
             raw_step = (
                 pallas_decode_step_v2
                 if kernel == "pallas_v2" and BW % 16 == 0
+                and hidden % 128 == 0
                 else fast_decode_step
             )
 

@@ -358,6 +358,14 @@ def make_fast_greedy_fn(
     """
     from p4fr_tpu.decoding import manager as dm
 
+    if use_pallas_v2 and model.cache_spec()[2] % 128 != 0:
+        # Mosaic lane layouts want the hidden dim in full 128-lane tiles;
+        # smaller/odd widths fail with "unsupported shape cast". The jnp
+        # fast path is the same numeric class, so degrade silently (tiny
+        # test/debug models are the only ones affected — production
+        # decoders are 256/512 wide).
+        use_pallas_v2 = False
+
     sos_id = model.sos_id
     if stop_override is not None and early_stop_eos is None:
         raise ValueError(

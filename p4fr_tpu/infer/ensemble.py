@@ -102,6 +102,7 @@ def make_ensemble_decode_fn(
                 step = (
                     pallas_decode_step_v2
                     if kern == "pallas_v2"
+                    and int(fast.w_gen.shape[0]) % 128 == 0
                     else fast_decode_step
                 )
                 steps.append(
