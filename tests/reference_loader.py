@@ -1,0 +1,139 @@
+"""Load the REAL reference code from /root/reference as a test oracle.
+
+The reference package assumes a CUDA box with timm installed and is laid
+out as a script tree (`sys.path` hacks, `from data.dataset import ...`).
+This helper builds just enough of that environment in-process to import
+the actual source files unmodified:
+
+- ``timm`` stub module (imported by networks/LiteSATRN.py:11 but unused
+  by the ShallowCNN backbone path we exercise),
+- ``data`` / ``data.dataset`` stub carrying the real token constants
+  (values copied from /root/reference/data/dataset.py:12-15),
+- the real ``postprocessing/decoding.py`` and
+  ``postprocessing/postprocessing.py`` loaded by file path,
+- the real ``networks/LiteSATRN.py`` and the three real schedulers.
+
+CPU shim: the reference calls ``tensor.to(tensor.get_device())``
+(networks/LiteSATRN.py:401,404) which only works on CUDA (CPU tensors
+return device -1). ``cpu_get_device()`` patches ``torch.Tensor.get_device``
+to return "cpu" so the identical math runs on CPU torch. This changes
+no numerics — it only redirects a device move.
+"""
+
+import importlib.util
+import pathlib
+import sys
+import types
+from contextlib import contextmanager
+
+REF = pathlib.Path("/root/reference")
+
+_CACHE = {}
+
+
+def _load_by_path(modname: str, path: pathlib.Path):
+    spec = importlib.util.spec_from_file_location(modname, str(path))
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_reference():
+    """Import the real reference modules once; returns a namespace."""
+    if "ns" in _CACHE:
+        return _CACHE["ns"]
+
+    if "timm" not in sys.modules:
+        timm_stub = types.ModuleType("timm")
+
+        def _no_network(*a, **k):
+            raise RuntimeError("timm stub: no pretrained downloads in tests")
+
+        timm_stub.create_model = _no_network
+        sys.modules["timm"] = timm_stub
+
+    # Constants from /root/reference/data/dataset.py:12-15.
+    data_pkg = types.ModuleType("data")
+    data_pkg.__path__ = []  # mark as package
+    data_pkg.START, data_pkg.END, data_pkg.PAD = "<SOS>", "<EOS>", "<PAD>"
+    data_pkg.SPECIAL_TOKENS = ["<SOS>", "<EOS>", "<PAD>"]
+    data_ds = types.ModuleType("data.dataset")
+    data_ds.START, data_ds.END, data_ds.PAD = "<SOS>", "<EOS>", "<PAD>"
+    data_ds.SPECIAL_TOKENS = data_pkg.SPECIAL_TOKENS
+    sys.modules["data"] = data_pkg
+    sys.modules["data.dataset"] = data_ds
+
+    pp_pkg = types.ModuleType("postprocessing")
+    pp_pkg.__path__ = []
+    sys.modules["postprocessing"] = pp_pkg
+
+    decoding = _load_by_path(
+        "postprocessing.decoding", REF / "postprocessing" / "decoding.py"
+    )
+    postprocessing = _load_by_path(
+        "postprocessing.postprocessing", REF / "postprocessing" / "postprocessing.py"
+    )
+    lite_satrn = _load_by_path(
+        "_ref_networks_lite_satrn", REF / "networks" / "LiteSATRN.py"
+    )
+    cosine = _load_by_path(
+        "_ref_sched_cosine", REF / "schedulers" / "cosineannealing.py"
+    )
+    circular = _load_by_path(
+        "_ref_sched_circular", REF / "schedulers" / "circular_lr.py"
+    )
+    tf_sched = _load_by_path(
+        "_ref_sched_tf", REF / "schedulers" / "tf_scheduler.py"
+    )
+
+    ns = types.SimpleNamespace(
+        decoding=decoding,
+        postprocessing=postprocessing,
+        lite_satrn=lite_satrn,
+        cosine=cosine,
+        circular=circular,
+        tf_sched=tf_sched,
+    )
+    _CACHE["ns"] = ns
+    return ns
+
+
+@contextmanager
+def cpu_get_device():
+    """Run reference CUDA-assuming code on CPU torch (see module docstring)."""
+    import torch
+
+    orig = torch.Tensor.get_device
+    torch.Tensor.get_device = lambda self: "cpu"
+    try:
+        yield
+    finally:
+        torch.Tensor.get_device = orig
+
+
+def make_flags(*, height, width, enc_hidden, enc_filter, enc_heads,
+               enc_layers, dec_src, dec_hidden, dec_filter, dec_heads,
+               dec_layers, dropout=0.1, rgb=3):
+    """FLAGS namespace matching networks/LiteSATRN.py:549-573 access paths."""
+    sn = types.SimpleNamespace
+    return sn(
+        input_size=sn(height=height, width=width),
+        data=sn(rgb=rgb),
+        dropout_rate=dropout,
+        SATRN=sn(
+            encoder=sn(hidden_dim=enc_hidden, filter_dim=enc_filter,
+                       head_num=enc_heads, layer_num=enc_layers),
+            decoder=sn(src_dim=dec_src, hidden_dim=dec_hidden,
+                       filter_dim=dec_filter, head_num=dec_heads,
+                       layer_num=dec_layers),
+        ),
+    )
+
+
+def make_dataset_stub(vocab):
+    """train_dataset stand-in: LiteSATRN only reads the two vocab maps."""
+    return types.SimpleNamespace(
+        id_to_token=dict(vocab.id_to_token),
+        token_to_id=dict(vocab.token_to_id),
+    )
