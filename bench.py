@@ -43,6 +43,29 @@ def _synthetic_stops(args, vocab, rng, jnp):
     return jnp.asarray(lengths), vocab.eos_id
 
 
+def _synthetic_stop_sets(args, rng):
+    """Per-iteration stop vectors over the WHOLE run's samples: draw
+    iters*batch lognormal lengths, optionally length-sort before chunking
+    into batches (what infer/single.py's sort_by_size batching achieves
+    with real data: each batch's while_loop exit is its own max, not the
+    global tail)."""
+    lengths = np.clip(
+        rng.lognormal(mean=np.log(35.0), sigma=0.6,
+                      size=args.iters * args.batch),
+        5, args.steps,
+    ).astype(np.int32)
+    if args.sort_lengths:
+        lengths = np.sort(lengths)
+    sets = lengths.reshape(args.iters, args.batch)
+    batch_maxes = sets.max(axis=1)
+    print(f"# early-stop: lengths mean={lengths.mean():.1f} "
+          f"p95={np.percentile(lengths, 95):.0f} | per-batch max "
+          f"mean={batch_maxes.mean():.0f} "
+          f"({'sorted' if args.sort_lengths else 'unsorted'} batching)",
+          file=sys.stderr)
+    return sets
+
+
 def _wrap(jax, decode_fn, variables):
     """jit the decode fn with weights baked as constants for small models
     (fastest dispatch: ~4% at B=256) but passed as ARGUMENTS for large
@@ -56,6 +79,21 @@ def _wrap(jax, decode_fn, variables):
     if n_params > CLOSURE_PARAM_LIMIT:
         return jax.jit(decode_fn)
     return jax.jit(lambda v, im: decode_fn(im))
+
+
+def _wrap_stops(jax, decode_fn, variables, stops_as_arg):
+    """_wrap for a decode fn whose LAST positional arg is the runtime
+    stop vector (stop_override="arg"); (v, im)-signature otherwise."""
+    if not stops_as_arg:
+        return _wrap(jax, decode_fn, variables)
+    n_params = sum(
+        int(x.size) for x in jax.tree_util.tree_leaves(variables)
+    )
+    from p4fr_tpu.decoding.fast_step import CLOSURE_PARAM_LIMIT
+
+    if n_params > CLOSURE_PARAM_LIMIT:
+        return jax.jit(decode_fn)
+    return jax.jit(lambda v, im, stops: decode_fn(im, stops))
 
 
 def main(argv=None):
@@ -76,6 +114,23 @@ def main(argv=None):
                         help="benchmark the teacher-forced train step "
                         "(forward+backward+AdamW) instead of inference; "
                         "--batch defaults to 64 in this mode")
+    parser.add_argument("--train-type", default="single_opt",
+                        choices=["single_opt", "dual_opt", "distillation"],
+                        help="with --train: which training regime's step "
+                        "to measure (dual_opt = optax.multi_transform "
+                        "enc/dec groups; distillation = teacher AR "
+                        "rollout + student KD step, teacher is --network "
+                        "at its config dims, student is LiteSATRN)")
+    parser.add_argument("--decode", default="greedy",
+                        choices=["greedy", "beam"],
+                        help="beam = batched lockstep beam search "
+                        "(decoding/beam.py) at --beam-width")
+    parser.add_argument("--beam-width", type=int, default=3)
+    parser.add_argument("--ensemble", action="store_true",
+                        help="benchmark the 2-model HBM-resident joint "
+                        "ensemble (--network + EfficientASTER): per-model "
+                        "encoders + one fused softmax-averaging decode "
+                        "scan (infer/ensemble.py)")
     parser.add_argument("--label-len", type=int, default=64,
                         help="training label length (train mode)")
     parser.add_argument("--pallas-v2", dest="pallas_v2", default=None,
@@ -93,6 +148,25 @@ def main(argv=None):
                         "decoder layers + generator + manager sift in ONE "
                         "Pallas launch per step, time-major in-kernel "
                         "cache write-back")
+    parser.add_argument("--device-resident", action="store_true",
+                        help="legacy device-only measurement: reuse ONE "
+                        "pre-transferred normalized batch for every "
+                        "pipelined iteration (no H2D image traffic on the "
+                        "clock). Default is the honest feed: a DISTINCT "
+                        "host uint8 batch per iteration, shipped and "
+                        "standardized on-device inside the timed region")
+    parser.add_argument("--tiled-cache", action="store_true",
+                        help="pallas-v2: allocate the KV cache in the "
+                        "tile-contiguous [G, L, TB, 2H] layout so each "
+                        "prefix-chunk DMA is ONE contiguous HBM region "
+                        "instead of TB strided 64KB segments (A/B lever "
+                        "for the DMA-efficiency gap)")
+    parser.add_argument("--sort-lengths", action="store_true",
+                        help="with --early-stop: length-sort the synthetic "
+                        "samples before chunking into batches (models the "
+                        "size-sorted eval batching infer/single.py uses "
+                        "with real data); compare against the default "
+                        "unsorted assignment to measure the gain")
     parser.add_argument("--early-stop", action="store_true",
                         help="early-exit while_loop decode on a synthetic "
                         "realistic length distribution (lognormal, mean "
@@ -200,6 +274,14 @@ def main(argv=None):
     images = jnp.asarray(
         rng.normal(size=(args.batch, h, w, 3)).astype(np.float32)
     )
+    # honest-feed batches: distinct host-resident uint8 images, one per
+    # pipelined iteration, so H2D transfer + on-device standardization are
+    # inside the timed region (the reference pays host normalize + f32 H2D
+    # per batch: inference_modules/inference_single.py:52-111)
+    u8_batches = [
+        rng.integers(0, 256, size=(args.batch, h, w, 3), dtype=np.uint8)
+        for _ in range(args.iters)
+    ]
     text = jnp.full((args.batch, 8), vocab.pad_id, jnp.int32)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -231,16 +313,68 @@ def main(argv=None):
         labels[:, -(pad_tail + 1)] = vocab.eos_id
         labels_t = jnp.asarray(labels)
 
-        optimizer = build_optimizer("AdamW", 5e-4, weight_decay=1e-6,
-                                    max_grad_norm=2.0)
-        state = TrainState(
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=optimizer.init(variables["params"]),
-            step=jnp.asarray(0, jnp.int32),
-        )
-        train_step = make_train_step(model, optimizer, vocab.pad_id)
         rng_key = jax.random.PRNGKey(0)
+        if args.train_type == "distillation":
+            # teacher = --network at its config dims (frozen, AR rollout);
+            # student = LiteSATRN (reference distillation pairing,
+            # train_modules/train_distillation.py)
+            from p4fr_tpu.train.distillation import make_distill_step
+
+            s_opts = Flags("p4fr_tpu/configs/LiteSATRN.yaml").get()
+            if args.quick:
+                s_opts.input_size.height = 32
+                s_opts.input_size.width = 64
+                s_opts.SATRN.encoder.layer_num = 1
+                s_opts.SATRN.decoder.layer_num = 1
+            student = get_network(
+                s_opts.network, s_opts, vocab, dtype=dtype
+            )
+            sh, sw = s_opts.input_size.height, s_opts.input_size.width
+            s_images = jnp.asarray(
+                rng.normal(size=(batch, sh, sw, 3)).astype(np.float32)
+            )
+            s_vars = student.init(
+                {"params": jax.random.PRNGKey(2),
+                 "dropout": jax.random.PRNGKey(3)},
+                s_images[:1], text[:1], train=False,
+            )
+            optimizer = build_optimizer("AdamW", 5e-4, weight_decay=1e-6,
+                                        max_grad_norm=2.0)
+            state = TrainState(
+                params=s_vars["params"],
+                batch_stats=s_vars.get("batch_stats", {}),
+                opt_state=optimizer.init(s_vars["params"]),
+                step=jnp.asarray(0, jnp.int32),
+            )
+            distill_step = make_distill_step(student, model, variables,
+                                             optimizer)
+
+            def train_step(state, images_, labels_, rng_,
+                           teacher_forced=True):
+                return distill_step(state, s_images, images_, labels_,
+                                    rng_, teacher_forced=teacher_forced)
+
+            regime = f"KD (teacher {args.network} AR rollout), AdamW"
+        else:
+            if args.train_type == "dual_opt":
+                from p4fr_tpu.train.dual_opt import build_dual_optimizer
+
+                optimizer = build_dual_optimizer(
+                    5e-4, 5e-4, total_steps=1000, max_grad_norm=2.0
+                )
+                regime = "dual-opt (multi_transform enc/dec Adam)"
+            else:
+                optimizer = build_optimizer("AdamW", 5e-4,
+                                            weight_decay=1e-6,
+                                            max_grad_norm=2.0)
+                regime = "AdamW"
+            state = TrainState(
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=optimizer.init(variables["params"]),
+                step=jnp.asarray(0, jnp.int32),
+            )
+            train_step = make_train_step(model, optimizer, vocab.pad_id)
 
         t0 = time.perf_counter()
         state, metrics, _ = train_step(state, images_t, labels_t, rng_key,
@@ -259,7 +393,7 @@ def main(argv=None):
         per_step = (time.perf_counter() - t0) / args.iters
         result = {
             "metric": f"{args.network} teacher-forced train step "
-                      f"(batch {batch}, labels {ll}, AdamW, "
+                      f"(batch {batch}, labels {ll}, {regime}, "
                       f"pipelined x{args.iters}, "
                       f"{jax.default_backend()})",
             "value": round(batch / per_step, 2),
@@ -272,7 +406,28 @@ def main(argv=None):
         return result
 
     tables = None if args.no_manager else RuleTables.build(vocab)
+
+    if args.ensemble:
+        return _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype,
+                               model, variables, images, u8_batches)
+
+    if args.decode == "beam":
+        from p4fr_tpu.decoding.beam import make_beam_fn
+
+        beam_kernel = "pallas_v2" if args.pallas_v2 else "jnp"
+        decode_fn = make_beam_fn(
+            model, max_steps=args.steps, beam_width=args.beam_width,
+            eos_id=vocab.eos_id, kernel=beam_kernel,
+        )
+        fn = jax.jit(decode_fn)
+        path_label = f"beam-W{args.beam_width} ({beam_kernel}), "
+        stop_sets = None
+        return _run_decode_bench(args, jax, jnp, fn, variables, images,
+                                 u8_batches, dtype, tables, path_label,
+                                 stop_sets)
+
     path_label = ""
+    stop_sets = None  # per-iteration runtime stop vectors (fast path only)
     if args.fused and getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fused_greedy import make_fused_greedy_fn
 
@@ -298,15 +453,21 @@ def main(argv=None):
     elif getattr(model, "supports_fast_decode", False):
         from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
 
-        stop_override, early_stop_eos = _synthetic_stops(
-            args, vocab, rng, jnp)
+        # stops flow in as a runtime ARGUMENT here: one compiled program
+        # serves every per-iteration length distribution (incl. sorted
+        # batching), unlike the closure-constant hook the other paths use
+        stop_sets = _synthetic_stop_sets(args, rng) if args.early_stop else None
         decode_fn = make_fast_greedy_fn(
             model, variables, max_steps=args.steps, tables=tables,
             use_pallas_v2=args.pallas_v2,
-            early_stop_eos=early_stop_eos, stop_override=stop_override,
+            early_stop_eos=vocab.eos_id if args.early_stop else None,
+            stop_override="arg" if args.early_stop else None,
+            tiled_cache=args.tiled_cache,
         )
-        fn = _wrap(jax, decode_fn, variables)
+        fn = _wrap_stops(jax, decode_fn, variables, args.early_stop)
         path_label = "pallas-v2, " if args.pallas_v2 else "fast-jnp, "
+        if args.tiled_cache and args.pallas_v2:
+            path_label = "pallas-v2 tiled-cache, "
     else:
         fn = jax.jit(
             make_greedy_fn(
@@ -315,18 +476,142 @@ def main(argv=None):
             )
         )
 
+    return _run_decode_bench(args, jax, jnp, fn, variables, images,
+                             u8_batches, dtype, tables, path_label,
+                             stop_sets)
+
+
+def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
+                    variables, images, u8_batches):
+    """2-model joint ensemble throughput: per-model encoders at their own
+    resolutions + ONE softmax-averaging decode scan (infer/ensemble.py),
+    honest u8 host feed per iteration (BASELINE config #5 analog:
+    inference_modules/inference_ensemble.py:46-248)."""
+    import time
+
+    from p4fr_tpu.infer.ensemble import make_ensemble_decode_fn
+    from p4fr_tpu.models.registry import get_network
+    from p4fr_tpu.ops.pallas.preprocess import standardize
+    from p4fr_tpu.utils.flags import Flags
+
+    partner_name = (
+        "EfficientASTER" if args.network != "EfficientASTER"
+        else "EfficientSATRN"
+    )
+    p_opts = Flags(f"p4fr_tpu/configs/{partner_name}.yaml").get()
+    if args.quick:
+        p_opts.input_size.height = 64
+        p_opts.input_size.width = 128
+        if hasattr(p_opts, "SATRN"):
+            p_opts.SATRN.encoder.layer_num = 1
+            p_opts.SATRN.decoder.layer_num = 1
+    partner = get_network(partner_name, p_opts, vocab, dtype=dtype)
+    ph, pw = p_opts.input_size.height, p_opts.input_size.width
+    p_init = jnp.asarray(rng.normal(size=(1, ph, pw, 3)).astype(np.float32))
+    text1 = jnp.full((1, 8), vocab.pad_id, jnp.int32)
+    p_vars = partner.init(
+        {"params": jax.random.PRNGKey(4), "dropout": jax.random.PRNGKey(5)},
+        p_init, text1, train=False,
+    )
+    p_u8 = [
+        rng.integers(0, 256, size=(args.batch, ph, pw, 3), dtype=np.uint8)
+        for _ in range(args.iters)
+    ]
+
+    models = [model, partner]
+    vars_list = [variables, p_vars]
+    kernel = "pallas_v2" if args.pallas_v2 else "jnp"
+    encoders = [
+        jax.jit(
+            lambda v, u8, m=m: m.apply(
+                v, standardize(u8, out_dtype=dtype), method="encode"
+            )
+        )
+        for m in models
+    ]
+    decode = jax.jit(
+        make_ensemble_decode_fn(
+            models, max_steps=args.steps, tables=tables, kernel=kernel
+        )
+    )
+
+    def call(i):
+        mems = [
+            encoders[0](variables, u8_batches[i % args.iters]),
+            encoders[1](p_vars, p_u8[i % args.iters]),
+        ]
+        return decode(vars_list, mems)
+
+    t0 = time.perf_counter()
+    np.asarray(call(0))
+    compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    np.asarray(call(1))
+    single_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    outs = [call(i) for i in range(args.iters)]
+    for o in outs:
+        np.asarray(o)
+    total = time.perf_counter() - t0
+    img_per_sec = args.batch * args.iters / total
+    result = {
+        "metric": f"ensemble[{args.network}+{partner_name}] joint greedy "
+                  f"decode (batch {args.batch}, {args.steps} steps, "
+                  f"manager={'on' if tables is not None else 'off'}, "
+                  f"{kernel}, u8 host feed, pipelined x{args.iters}, "
+                  f"{jax.default_backend()})",
+        "value": round(img_per_sec, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_per_sec / REFERENCE_GPU_IMG_PER_SEC, 2),
+    }
+    print(json.dumps(result))
+    print(
+        f"# compile {compile_s:.1f}s | single-batch latency "
+        f"{single_s*1e3:.0f} ms | pipelined "
+        f"{total/args.iters*1e3:.0f} ms/batch",
+        file=sys.stderr,
+    )
+    return result
+
+
+def _run_decode_bench(args, jax, jnp, fn, variables, images, u8_batches,
+                      dtype, tables, path_label, stop_sets):
+    if not args.device_resident:
+        # production feed path (infer/single.py): uint8 in, fused
+        # standardize on-device, decode in one compiled program
+        from p4fr_tpu.ops.pallas.preprocess import standardize
+
+        inner_fn = fn
+        fn = jax.jit(
+            lambda v, u8, *rest: inner_fn(
+                v, standardize(u8, out_dtype=dtype), *rest
+            )
+        )
+
+    feed = (
+        (lambda i: images)
+        if args.device_resident
+        else (lambda i: u8_batches[i % args.iters])
+    )
+    if stop_sets is not None:
+        call = lambda i: fn(  # noqa: E731
+            variables, feed(i), jnp.asarray(stop_sets[i % args.iters])
+        )
+    else:
+        call = lambda i: fn(variables, feed(i))  # noqa: E731
+
     # compile + warmup. NOTE: through the axon TPU tunnel,
     # block_until_ready returns early; np.asarray forces a real
     # device->host sync so timings are honest (and a user consuming
     # predictions pays this transfer anyway).
     t0 = time.perf_counter()
-    np.asarray(fn(variables, images))
+    np.asarray(call(0))
     compile_s = time.perf_counter() - t0
 
     # single-batch latency (per-call host sync — through the axon tunnel
     # this includes a large fixed round-trip cost per call)
     t0 = time.perf_counter()
-    np.asarray(fn(variables, images))
+    np.asarray(call(1))
     single_s = time.perf_counter() - t0
 
     # throughput: enqueue all batches (async dispatch pipelines them),
@@ -334,19 +619,25 @@ def main(argv=None):
     # This is the standard offline-serving scenario and what a pipelined
     # production consumer achieves; profiling showed the per-call sync
     # above is dominated by fixed tunnel overhead, not device work.
+    # Default feed: a DISTINCT uint8 batch per iteration — every H2D
+    # image transfer happens inside this timed block.
     t0 = time.perf_counter()
-    outs = [fn(variables, images) for _ in range(args.iters)]
+    outs = [call(i) for i in range(args.iters)]
     for o in outs:
         np.asarray(o)
     total = time.perf_counter() - t0
     img_per_sec = args.batch * args.iters / total
 
     result = {
-        "metric": f"{args.network} greedy decode throughput "
+        "metric": f"{args.network} {args.decode} decode throughput "
                   f"(batch {args.batch}, {args.steps} steps, "
                   f"manager={'on' if tables is not None else 'off'}, "
                   + ("early-stop, " if args.early_stop else "")
+                  + ("sorted-batches, " if args.early_stop
+                     and args.sort_lengths else "")
                   + path_label
+                  + ("device-resident, " if args.device_resident
+                     else "u8 host feed, ")
                   + f"pipelined x{args.iters}, "
                   + f"{jax.default_backend()})",
         "value": round(img_per_sec, 2),

@@ -66,6 +66,13 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard each batch over every visible device "
         "(jax.sharding data-parallel mesh); batch_size must divide evenly",
     )
+    parser.add_argument(
+        "--preprocess", default="device", choices=["device", "host"],
+        help="device = ship resized uint8 and standardize on-device "
+        "(Pallas fused normalize, 4x less H2D bandwidth; default); "
+        "host = legacy cv2-normalized float32 feed (bit-exact "
+        "albumentations parity)",
+    )
     parser.add_argument("--file_path", required=True, help="input.txt TSV")
     parser.add_argument("--output_dir", default="./outputs")
     return parser

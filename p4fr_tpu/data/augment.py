@@ -108,6 +108,7 @@ class Transform:
         rgb: int = 3,
         aug_prob: float = 0.3,
         seed: Optional[int] = None,
+        normalize: bool = True,
     ):
         self.height = height
         self.width = width
@@ -115,16 +116,22 @@ class Transform:
         self.rgb = rgb
         self.aug_prob = aug_prob
         self.rng = np.random.default_rng(seed)
+        # normalize=False ships resized uint8 and defers the ImageNet
+        # standardization to the device (ops/pallas/preprocess.standardize):
+        # 4x less host->device bandwidth on the inference hot path.
+        self.normalize = normalize
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
-        """uint8 HWC (or HW) -> float32 HWC normalized."""
+        """uint8 HWC (or HW) -> float32 HWC normalized
+        (or resized uint8 HWC when ``normalize=False``)."""
         image = resize(image, self.height, self.width)
         if self.train:
             if self.rng.random() < self.aug_prob:
                 image = shift_scale_rotate(image, self.rng)
             if self.rng.random() < self.aug_prob:
                 image = grid_distortion(image, self.rng)
-        image = normalize(image, self.rgb)
+        if self.normalize:
+            image = normalize(image, self.rgb)
         if image.ndim == 2:
             image = image[:, :, None]
         return image
@@ -134,8 +141,8 @@ def get_train_transforms(height, width, rgb=3, seed=None) -> Transform:
     return Transform(height, width, train=True, rgb=rgb, seed=seed)
 
 
-def get_valid_transforms(height, width, rgb=3) -> Transform:
-    return Transform(height, width, train=False, rgb=rgb)
+def get_valid_transforms(height, width, rgb=3, normalize=True) -> Transform:
+    return Transform(height, width, train=False, rgb=rgb, normalize=normalize)
 
 
 def get_test_transforms(height, width, rgb=3) -> Transform:

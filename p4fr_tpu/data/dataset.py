@@ -149,6 +149,16 @@ class LoadEvalDataset(LoadDataset):
         out["file_path"] = self.data[i]["file_path"]
         return out
 
+    def size_proxy(self, i: int) -> float:
+        """Aspect ratio from the PNG header (no pixel decode): wide images
+        hold long formulas, so sorting eval batches by this groups
+        similar decode lengths for the early-exit while_loop."""
+        from PIL import Image
+
+        with Image.open(self.data[i]["path"]) as im:
+            w, h = im.size
+        return w / max(h, 1)
+
 
 class DistillationDataset(LoadDataset):
     """Yields the same image under student & teacher transforms

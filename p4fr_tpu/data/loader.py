@@ -40,7 +40,12 @@ def collate(
         encoded[i, : len(ids)] = ids
     batch["truth"]["encoded"] = encoded
     for key in image_keys:
-        batch[key] = np.stack([d[key] for d in items]).astype(np.float32)
+        stacked = np.stack([d[key] for d in items])
+        # uint8 stays uint8 (device-side normalization path: 4x less H2D
+        # traffic); anything else goes to float32 as before
+        if stacked.dtype != np.uint8:
+            stacked = stacked.astype(np.float32)
+        batch[key] = stacked
     return batch
 
 
@@ -59,6 +64,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 4,
         image_keys=("image",),
+        sort_key=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -69,6 +75,13 @@ class DataLoader:
         self.rng = np.random.default_rng(seed)
         self.prefetch = prefetch
         self.image_keys = image_keys
+        # sort_key(index) -> sortable value: batch similar-length items
+        # together (stable sort) so an early-exit decode's while_loop,
+        # which runs to each BATCH's max length, stops early on the short
+        # batches. Mutually exclusive with shuffle.
+        self.sort_key = sort_key
+        if sort_key is not None and shuffle:
+            raise ValueError("sort_key and shuffle are mutually exclusive")
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -80,6 +93,9 @@ class DataLoader:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(idx)
+        elif self.sort_key is not None:
+            keys = np.asarray([self.sort_key(int(i)) for i in idx])
+            idx = idx[np.argsort(keys, kind="stable")]
         batches = []
         for start in range(0, len(idx), self.batch_size):
             chunk = idx[start : start + self.batch_size]

@@ -161,12 +161,17 @@ def precompute_cross_kv(fast: FastDecoder, src: jnp.ndarray):
 
 
 def init_fast_cache(
-    fast: FastDecoder, batch: int, max_len: int
+    fast: FastDecoder, batch: int, max_len: int, *, tiled_tile: int = 0
 ) -> Tuple[jnp.ndarray, ...]:
     hidden = fast.w_gen.shape[0]
+    if tiled_tile:
+        from p4fr_tpu.ops.pallas.decoder_layer_v2 import tiled_cache_shape
+
+        shape = tiled_cache_shape(batch, max_len, hidden, tiled_tile)
+    else:
+        shape = (batch, max_len, 2 * hidden)
     return tuple(
-        jnp.zeros((batch, max_len, 2 * hidden), fast.w_gen.dtype)
-        for _ in fast.layers
+        jnp.zeros(shape, fast.w_gen.dtype) for _ in fast.layers
     )
 
 
@@ -278,7 +283,9 @@ def pallas_decode_step_v2(
 ):
     """One AR step via the flash-decode fused layer kernel
     (ops/pallas/decoder_layer_v2.py): HBM-resident cache, prefix-chunk
-    DMA with online softmax, single-slot XLA scatter."""
+    DMA with online softmax, single-slot XLA scatter. Caches allocated
+    with ``init_fast_cache(tiled_tile=...)`` (4-D) automatically use the
+    tile-contiguous DMA layout."""
     from p4fr_tpu.ops.pallas.decoder_layer_v2 import decoder_layer_step_v2
 
     x = fast.embed_scaled[token] + fast.pos_encoding[pos][None, :]
@@ -288,6 +295,7 @@ def pallas_decode_step_v2(
             x, pos, kv_cache, ckv, layer_weight_tuple(layer),
             head_num=fast.head_num, cache_outputs=fast.cache_outputs,
             batch_tile=batch_tile, chunk=chunk, interpret=interpret,
+            tiled_cache=kv_cache.ndim == 4,
         )
         new_cache.append(kv_cache)
     logits = (x @ fast.w_gen + fast.b_gen).astype(jnp.float32)
@@ -339,6 +347,7 @@ def make_fast_greedy_fn(
     use_pallas_v2: bool = False,
     batch_tile: int = 8,
     stop_override: Optional[jnp.ndarray] = None,
+    tiled_cache: bool = False,
 ):
     """Greedy decode over the fast step.
 
@@ -350,7 +359,9 @@ def make_fast_greedy_fn(
     models).
 
     ``stop_override`` ([B] int32, requires ``early_stop_eos``) is a
-    BENCHMARKING hook: sequence i is additionally marked done once
+    BENCHMARKING hook; pass the string ``"arg"`` to take the stop vector
+    as the fn's LAST positional argument at call time (one compiled
+    program, many length distributions). Sequence i is marked done once
     ``t >= stop_override[i]``, which lets bench.py measure the early-stop
     while_loop on a synthetic realistic length distribution without a
     trained model (random weights rarely emit <EOS>). Production decode
@@ -373,6 +384,11 @@ def make_fast_greedy_fn(
             "early-exit while_loop; without it the fixed-length scan "
             "would silently ignore the injected stop steps)"
         )
+    # stop_override="arg": take the per-sequence stop steps as a RUNTIME
+    # argument (last positional) instead of a baked closure constant, so
+    # one compiled program serves many batches with different length
+    # distributions (sorted-batching benchmarks need this)
+    stops_as_arg = isinstance(stop_override, str) and stop_override == "arg"
     if use_pallas_v2:
         def step_fn(fast_, token, t, cross_kv, cache):
             return pallas_decode_step_v2(fast_, token, t, cross_kv, cache)
@@ -397,6 +413,9 @@ def make_fast_greedy_fn(
         cache_len = ((cache_len + 127) // 128) * 128  # chunk alignment
 
     def fn(*args):
+        stops = stop_override
+        if stops_as_arg:
+            *args, stops = args
         if len(args) == 2:
             vars_, images = args
         else:
@@ -415,7 +434,10 @@ def make_fast_greedy_fn(
             if batch != b0:
                 src = jnp.pad(src, ((0, batch - b0), (0, 0), (0, 0)))
         cross_kv = precompute_cross_kv(fast, src.astype(fast.w_gen.dtype))
-        cache = init_fast_cache(fast, batch, cache_len)
+        cache = init_fast_cache(
+            fast, batch, cache_len,
+            tiled_tile=32 if (tiled_cache and use_pallas_v2) else 0,
+        )
         token0 = jnp.full((batch,), sos_id, jnp.int32)
 
         if early_stop_eos is not None:
@@ -436,8 +458,11 @@ def make_fast_greedy_fn(
                     target = jnp.argmax(logits, -1).astype(jnp.int32)
                 buf = buf.at[:, t].set(jnp.where(done, early_stop_eos, target))
                 done = done | (target == early_stop_eos)
-                if stop_override is not None:
-                    done = done | (t >= stop_override)
+                if stops is not None:
+                    so = jnp.asarray(stops)
+                    if so.shape[0] != batch:  # post-encoder batch padding
+                        so = jnp.pad(so, (0, batch - so.shape[0]))
+                    done = done | (t >= so)
                 return t + 1, target, cache, mstate, done, buf
 
             carry = (jnp.asarray(0), token0, cache, mstate0, done0, out_buf)

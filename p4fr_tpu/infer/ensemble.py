@@ -199,6 +199,7 @@ def run_ensemble(
     early_stop: bool = False,
     mesh=None,
     kernel: str = "auto",
+    preprocess: str = "device",
 ) -> List[Tuple[str, str]]:
     del max_cache
     loaded = [load_model_from_checkpoint(p) for p in checkpoint_paths]
@@ -206,11 +207,15 @@ def run_ensemble(
     variables_list = [l[1] for l in loaded]
     options_list = [l[2] for l in loaded]
     vocab: Vocab = loaded[0][3]
+    device_preprocess = preprocess == "device"
 
-    # per-model eval transform at its own resolution
+    # per-model eval transform at its own resolution; with device
+    # preprocessing the host only resizes uint8 and each encoder fuses the
+    # standardization into its compiled program (preprocess.standardize)
     transforms = [
         get_valid_transforms(
-            o.input_size.height, o.input_size.width, o.data.rgb
+            o.input_size.height, o.input_size.width, o.data.rgb,
+            normalize=not device_preprocess,
         )
         for o in options_list
     ]
@@ -227,6 +232,15 @@ def run_ensemble(
         early_stop_eos=vocab.eos_id if early_stop else None,
         kernel=kernel,
     )
+    def encode_fn(model):
+        if device_preprocess:
+            from p4fr_tpu.ops.pallas.preprocess import standardize
+
+            return lambda v, im, m=model: m.apply(
+                v, standardize(im, out_dtype=m.dtype), method="encode"
+            )
+        return lambda v, im, m=model: m.apply(v, im, method="encode")
+
     if mesh is not None:
         # DP ensemble (BASELINE north star): every model replicates, the
         # image batch and all per-model encoder memories shard over `data`.
@@ -240,7 +254,7 @@ def run_ensemble(
         decode = make_sharded_infer_fn(decode_fn, mesh)
         encoders = [
             jax.jit(
-                lambda v, im, m=model: m.apply(v, im, method="encode"),
+                encode_fn(model),
                 in_shardings=(repl, batch_sh),
                 out_shardings=batch_sh,
             )
@@ -248,12 +262,7 @@ def run_ensemble(
         ]
     else:
         decode = jax.jit(decode_fn)
-        encoders = [
-            jax.jit(
-                lambda v, im, m=model: m.apply(v, im, method="encode")
-            )
-            for model in models
-        ]
+        encoders = [jax.jit(encode_fn(model)) for model in models]
 
     results: List[Tuple[str, str]] = []
     start = time.perf_counter()
@@ -289,7 +298,9 @@ def run_ensemble(
                     )
                     for n in padded
                 ]
-            ).astype(np.float32)
+            )
+            if imgs.dtype != np.uint8:
+                imgs = imgs.astype(np.float32)
             memories.append(encoders[len(memories)](variables, jnp.asarray(imgs)))
         tokens = decode(variables_list, memories)
         if pending is not None:
@@ -328,4 +339,5 @@ def main(parser):
         early_stop=getattr(parser, "early_stop", False),
         mesh=mesh,
         kernel=getattr(parser, "kernel", "auto"),
+        preprocess=getattr(parser, "preprocess", "device"),
     )

@@ -52,10 +52,12 @@ def load_model_from_checkpoint(checkpoint_path: str, dtype=None):
 
 
 def build_eval_loader(
-    file_path: str, options, vocab: Vocab, batch_size: int, max_sequence: int
+    file_path: str, options, vocab: Vocab, batch_size: int, max_sequence: int,
+    *, host_normalize: bool = True, sort_by_size: bool = False,
 ):
     transform = get_valid_transforms(
-        options.input_size.height, options.input_size.width, options.data.rgb
+        options.input_size.height, options.input_size.width, options.data.rgb,
+        normalize=host_normalize,
     )
     dummy_gt = "\\sin " * max_sequence  # fixes decode length, reference trick
     root = os.path.join(os.path.dirname(file_path), "images")
@@ -78,6 +80,7 @@ def build_eval_loader(
         max_label_len=max_sequence + 2,
         shuffle=False,
         pad_last=True,
+        sort_key=dataset.size_proxy if sort_by_size else None,
     )
     return loader, dataset
 
@@ -96,18 +99,32 @@ def run_inference(
     mesh=None,
     early_stop: bool = False,
     kernel: str = "auto",
+    preprocess: str = "device",
 ) -> List[Tuple[str, str]]:
     """``kernel`` selects the greedy decode implementation: "auto" picks
     "pallas_v2" on TPU (measured fastest: the flash-decode fused-layer
     kernel) and "jnp" elsewhere (fused weights, plain XLA); "fused" is the
     experimental whole-step single-launch kernel. The Pallas paths match
     the jnp path up to bf16 near-tie argmax flips (all computations are
-    at-or-above the jnp path's precision — see ops/pallas/ docstrings)."""
+    at-or-above the jnp path's precision — see ops/pallas/ docstrings).
+
+    ``preprocess``: "device" (default) ships resized uint8 batches and
+    fuses the ImageNet standardization into the compiled program
+    (ops/pallas/preprocess.standardize — 4x less H2D bandwidth than the
+    reference's host-normalized float feed,
+    inference_modules/inference_single.py:52-74); "host" is the legacy
+    cv2-normalized float32 path (bit-exact albumentations parity)."""
     model, variables, options, vocab, _ = load_model_from_checkpoint(
         checkpoint_path
     )
+    device_preprocess = preprocess == "device"
+    # early-exit decode runs each batch's while_loop to the BATCH max
+    # length: grouping similar-length images (wide aspect ~ long formula)
+    # turns per-batch maxima into the actual length distribution
     loader, _ = build_eval_loader(
-        file_path, options, vocab, batch_size, max_sequence
+        file_path, options, vocab, batch_size, max_sequence,
+        host_normalize=not device_preprocess,
+        sort_by_size=early_stop and decode_type == "greedy",
     )
 
     tables = RuleTables.build(vocab) if decoding_manager else None
@@ -182,6 +199,15 @@ def run_inference(
         inner = decode_fn
         decode_fn = lambda v, im: inner(im)  # noqa: E731
 
+    if device_preprocess:
+        from p4fr_tpu.ops.pallas.preprocess import standardize
+
+        inner_pre = decode_fn
+        in_dtype = model.dtype
+
+        def decode_fn(v, images_u8):  # noqa: F811
+            return inner_pre(v, standardize(images_u8, out_dtype=in_dtype))
+
     if mesh is not None:
         from p4fr_tpu.parallel.sharding import make_sharded_infer_fn
 
@@ -221,6 +247,16 @@ def run_inference(
     if pending is not None:
         flush(pending)
     elapsed = time.perf_counter() - start
+
+    if early_stop and decode_type == "greedy":
+        # size-sorted batching permuted the rows; restore input.txt order
+        with open(file_path, "r") as fd:
+            order = {
+                r[0]: i
+                for i, r in enumerate(csv.reader(fd, delimiter="\t"))
+                if r
+            }
+        results.sort(key=lambda pr: order.get(pr[0], len(order)))
 
     os.makedirs(output_dir, exist_ok=True)
     out_path = os.path.join(output_dir, "output.csv")
@@ -270,5 +306,6 @@ def main(parser):
         tokens_path=parser.tokens_path,
         early_stop=getattr(parser, "early_stop", False),
         kernel=getattr(parser, "kernel", "auto"),
+        preprocess=getattr(parser, "preprocess", "device"),
         mesh=mesh,
     )

@@ -83,7 +83,7 @@ def _kernel(
     out_ref,  # [TB, H] VMEM
     slot_ref,  # [TB, 2H] VMEM — K/V to scatter at ``pos`` (XLA DUS)
     # scratch
-    chunk_buf,  # [2, TB, CK, 2H] VMEM
+    chunk_buf,  # [2, TB, CK, 2H] VMEM ([2, CK, TB, 2H] when tiled)
     m_buf,  # [TB, HEADS] f32
     l_buf,  # [TB, HEADS] f32
     acc_buf,  # [TB, H] f32
@@ -92,6 +92,7 @@ def _kernel(
     head_num: int,
     chunk: int,
     cache_outputs: bool,
+    tiled: bool = False,
 ):
     pos = pos_ref[0]
     i = pl.program_id(0)
@@ -154,6 +155,14 @@ def _kernel(
 
     def chunk_dma(slot, c):
         start = pl.multiple_of(c * chunk, chunk)
+        if tiled:
+            # tile-contiguous layout [G, L, TB, 2H]: one chunk is a single
+            # CK*TB*2H contiguous HBM region (vs TB strided segments)
+            return pltpu.make_async_copy(
+                cache_hbm.at[i, pl.ds(start, chunk), :, :],
+                chunk_buf.at[slot],
+                chunk_sem.at[slot],
+            )
         return pltpu.make_async_copy(
             cache_hbm.at[rows, pl.ds(start, chunk), :],
             chunk_buf.at[slot],
@@ -173,21 +182,49 @@ def _kernel(
 
         slot = c % 2
         chunk_dma(slot, c).wait()
-        k = chunk_buf[slot, :, :, :hidden]
-        v = chunk_buf[slot, :, :, hidden:]
-        s = seg_scores(q, k)  # [TB, CK, heads] f32
-        lane = jax.lax.broadcasted_iota(jnp.int32, (tb, chunk, head_num), 1)
-        banned = (c * chunk + lane) >= pos
-        s = jnp.where(banned, NEG_INF, s)
         m_old = m_buf[:]
-        m_new = jnp.maximum(m_old, jnp.max(s, axis=1))  # [TB, heads]
-        corr = jnp.exp(m_old - m_new)
-        p = jnp.exp(s - m_new[:, None, :])
-        p = jnp.where(banned, 0.0, p)
-        l_buf[:] = l_buf[:] * corr + jnp.sum(p, axis=1)
+        if tiled:
+            # time-major compute: chunk axis leads, no transposes needed
+            k = chunk_buf[slot, :, :, :hidden]  # [CK, TB, H]
+            v = chunk_buf[slot, :, :, hidden:]
+            e = q[None, :, :] * k  # [CK, TB, H]
+            s = jnp.dot(
+                e.reshape(chunk * tb, hidden), seg,
+                preferred_element_type=jnp.float32,
+            ).reshape(chunk, tb, head_num) / temp
+            t_idx = jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, tb, head_num), 0
+            )
+            banned = (c * chunk + t_idx) >= pos
+            s = jnp.where(banned, NEG_INF, s)
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=0))  # [TB, heads]
+            corr = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new[None, :, :])
+            p = jnp.where(banned, 0.0, p)
+            l_buf[:] = l_buf[:] * corr + jnp.sum(p, axis=0)
+            p_wide = jnp.dot(
+                p.astype(cdtype).reshape(chunk * tb, head_num), seg_t,
+                preferred_element_type=jnp.float32,
+            ).astype(cdtype).reshape(chunk, tb, hidden)
+            ws = jnp.sum((p_wide * v).astype(jnp.float32), axis=0)
+        else:
+            k = chunk_buf[slot, :, :, :hidden]  # [TB, CK, H]
+            v = chunk_buf[slot, :, :, hidden:]
+            s = seg_scores(q, k)  # [TB, CK, heads] f32
+            lane = jax.lax.broadcasted_iota(
+                jnp.int32, (tb, chunk, head_num), 1
+            )
+            banned = (c * chunk + lane) >= pos
+            s = jnp.where(banned, NEG_INF, s)
+            m_new = jnp.maximum(m_old, jnp.max(s, axis=1))  # [TB, heads]
+            corr = jnp.exp(m_old - m_new)
+            p = jnp.exp(s - m_new[:, None, :])
+            p = jnp.where(banned, 0.0, p)
+            l_buf[:] = l_buf[:] * corr + jnp.sum(p, axis=1)
+            ws = seg_weighted_sum(p, v)
         corr_wide = jnp.dot(corr, seg_t.astype(jnp.float32),
                             preferred_element_type=jnp.float32)
-        acc_buf[:] = acc_buf[:] * corr_wide + seg_weighted_sum(p, v)
+        acc_buf[:] = acc_buf[:] * corr_wide + ws
         m_buf[:] = m_new
         return 0
 
@@ -253,7 +290,7 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("head_num", "cache_outputs", "batch_tile", "chunk",
-                     "interpret"),
+                     "interpret", "tiled_cache"),
 )
 def decoder_layer_step_v2(
     x: jnp.ndarray,  # [B, H]
@@ -267,6 +304,7 @@ def decoder_layer_step_v2(
     batch_tile: int = 32,
     chunk: int = 64,
     interpret: bool = False,
+    tiled_cache: bool = False,
 ):
     """Flash-decode fused layer step -> (out [B, H], new cache).
 
@@ -283,7 +321,13 @@ def decoder_layer_step_v2(
     tb = min(batch_tile, b)
     while b % tb:
         tb -= 1
-    max_len = cache.shape[1]
+    if tiled_cache:
+        # cache is [G, L, TB, 2H] (see tiled_cache_shape); the tile used
+        # at allocation must equal the kernel's batch tile
+        g, max_len, tb_c, twoh = cache.shape
+        assert tb_c == tb and g * tb == b, (cache.shape, tb, b)
+    else:
+        max_len = cache.shape[1]
     assert max_len % chunk == 0, (max_len, chunk)
     s_len = src_kv.shape[1]
     grid = (b // tb,)
@@ -304,7 +348,12 @@ def decoder_layer_step_v2(
         )
 
     kernel = functools.partial(
-        _kernel, head_num=head_num, chunk=chunk, cache_outputs=cache_outputs
+        _kernel, head_num=head_num, chunk=chunk,
+        cache_outputs=cache_outputs, tiled=tiled_cache,
+    )
+    chunk_buf_shape = (
+        (2, chunk, tb, 2 * hidden) if tiled_cache
+        else (2, tb, chunk, 2 * hidden)
     )
     out, kv_slot = pl.pallas_call(
         kernel,
@@ -336,7 +385,7 @@ def decoder_layer_step_v2(
                 batch_spec((2 * hidden,)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, tb, chunk, 2 * hidden), cache.dtype),
+                pltpu.VMEM(chunk_buf_shape, cache.dtype),
                 pltpu.VMEM((tb, head_num), jnp.float32),
                 pltpu.VMEM((tb, head_num), jnp.float32),
                 pltpu.VMEM((tb, hidden), jnp.float32),
@@ -369,7 +418,25 @@ def decoder_layer_step_v2(
         b_ff1.reshape(1, -1),
         jnp.stack([ln3[0], ln3[1]]),
     )
-    new_cache = jax.lax.dynamic_update_slice(
-        cache, kv_slot[:, None, :], (0, pos, 0)
-    )
+    if tiled_cache:
+        new_cache = jax.lax.dynamic_update_slice(
+            cache,
+            kv_slot.reshape(b // tb, 1, tb, 2 * hidden),
+            (0, pos, 0, 0),
+        )
+    else:
+        new_cache = jax.lax.dynamic_update_slice(
+            cache, kv_slot[:, None, :], (0, pos, 0)
+        )
     return out, new_cache
+
+
+def tiled_cache_shape(batch: int, max_len: int, hidden: int,
+                      batch_tile: int = 32) -> Tuple[int, int, int, int]:
+    """[G, L, TB, 2H] allocation shape for ``tiled_cache=True`` (one
+    prefix chunk per grid tile is a single contiguous HBM region). Uses
+    the same tile-fallback rule as ``decoder_layer_step_v2``."""
+    tb = min(batch_tile, batch)
+    while batch % tb:
+        tb -= 1
+    return (batch // tb, max_len, tb, 2 * hidden)

@@ -23,6 +23,17 @@ IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
 IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
+def _stats_for(channels: int):
+    """Per-channel (mean, std); grayscale uses scalar averaged stats like
+    the host pipeline (data/augment.py::normalize rgb=1 branch)."""
+    if channels == 3:
+        return IMAGENET_MEAN, IMAGENET_STD
+    return (
+        np.full(channels, IMAGENET_MEAN.mean(), np.float32),
+        np.full(channels, IMAGENET_STD.mean(), np.float32),
+    )
+
+
 def _kernel(img_ref, scale_ref, shift_ref, out_ref):
     """One [rows, W*C] tile: out = u8 * scale + shift (channel-folded).
 
@@ -39,10 +50,11 @@ def _standardize_pallas(
     from jax.experimental import pallas as pl
 
     b, h, w, c = images.shape
+    mean, std = _stats_for(c)
     # fold W*C into the lane dimension; per-position channel pattern repeats
     flat = images.reshape(b, h, w * c)
-    scale = jnp.tile(1.0 / (255.0 * IMAGENET_STD), w)[None, :]  # [1, W*C]
-    shift = jnp.tile(-IMAGENET_MEAN / IMAGENET_STD, w)[None, :]
+    scale = jnp.tile(1.0 / (255.0 * std), w)[None, :]  # [1, W*C]
+    shift = jnp.tile(-mean / std, w)[None, :]
 
     tile_rows = 8
     grid = (b, pl.cdiv(h, tile_rows))
@@ -69,8 +81,9 @@ def _standardize_pallas(
 
 
 def _standardize_jnp(images: jnp.ndarray, out_dtype=jnp.bfloat16):
+    mean, std = _stats_for(images.shape[-1])
     x = images.astype(jnp.float32) / 255.0
-    x = (x - IMAGENET_MEAN) / IMAGENET_STD
+    x = (x - mean) / std
     return x.astype(out_dtype)
 
 
@@ -89,9 +102,10 @@ def resize_and_standardize(
     Replaces the host cv2 resize+normalize for the inference hot path:
     the host only decodes and stacks raw uint8 images.
     """
+    mean, std = _stats_for(images_u8.shape[-1])
     x = images_u8.astype(jnp.float32)
     x = jax.image.resize(
         x, (x.shape[0], height, width, x.shape[3]), method="bilinear"
     )
-    x = (x / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+    x = (x / 255.0 - mean) / std
     return x.astype(out_dtype)

@@ -124,3 +124,28 @@ def make_sharded_infer_fn(decode_fn: Callable, mesh: Mesh) -> Callable:
         return sharded(variables, images)
 
     return run
+
+
+def make_tp_infer_fn(decode_fn: Callable, mesh: Mesh, variables) -> Callable:
+    """AR decode with MODEL-AXIS-SHARDED weights (true tensor-parallel
+    inference): the batch shards over ``data``, transformer projection
+    kernels stay sharded over ``model`` per ``param_shardings``, and
+    GSPMD inserts the per-step collectives (all-reduce after row-parallel
+    projections) inside the decode scan.
+
+    Use for the jnp/generic decode paths only — the GSPMD partitioner
+    cannot split a ``pallas_call`` over the model axis, so Pallas-kernel
+    decodes take ``make_sharded_infer_fn`` (pure DP, replicated weights)
+    instead. ``variables`` supplies the tree structure for shardings.
+    """
+    batch_sh = batch_sharding(mesh)
+    repl = replicated(mesh)
+    var_sh = {"params": param_shardings(variables["params"], mesh)}
+    for coll in variables:
+        if coll != "params":
+            var_sh[coll] = jax.tree_util.tree_map(
+                lambda _: repl, variables[coll]
+            )
+    return jax.jit(
+        decode_fn, in_shardings=(var_sh, batch_sh), out_shardings=batch_sh
+    )

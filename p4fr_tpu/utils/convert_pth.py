@@ -334,6 +334,45 @@ def convert_state_dict(
 # ---------------------------------------------------------------------------
 
 
+def _pattern_skeleton(pattern: str) -> str:
+    """Regex rule pattern -> readable key template for diff hints."""
+    s = pattern.rstrip("$")
+    s = s.replace(r"\.", ".")
+    s = re.sub(r"\(\\d\+\)", "N", s)
+    return s.replace("\\", "")
+
+
+def unmatched_report(
+    rules: List[Rule], state_dict: Dict[str, Any], unmatched: List[str]
+) -> str:
+    """Actionable diagnostic for a drifted real checkpoint: each unmatched
+    torch key with its shape and the closest rule templates, so the first
+    real-file conversion failure points at which rule to fix instead of
+    hard-failing with a bare key list (the timm/hub key names were
+    inferred from source and may drift across versions)."""
+    import difflib
+
+    skeletons = sorted({_pattern_skeleton(p) for p, _, _, c in rules})
+    lines = [f"{len(unmatched)} unmatched torch keys:"]
+    for key in unmatched:
+        v = state_dict.get(key)
+        arr = (
+            v.detach().cpu().numpy()
+            if hasattr(v, "detach")
+            else np.asarray(v)
+        )
+        close = difflib.get_close_matches(key, skeletons, n=2, cutoff=0.4)
+        hint = " | ".join(close) if close else "(no close rule)"
+        lines.append(f"  {key} shape={tuple(arr.shape)}")
+        lines.append(f"    nearest rule(s): {hint}")
+    matched_n = len(state_dict) - len(unmatched)
+    lines.append(
+        f"({matched_n}/{len(state_dict)} keys matched; fix the rule "
+        f"table or pass strict=False/--report to convert what matched)"
+    )
+    return "\n".join(lines)
+
+
 def _load_torch_state_dict(src) -> Dict[str, Any]:
     """Accept a path, a state_dict, or a wrapped checkpoint dict."""
     if isinstance(src, str):
@@ -409,8 +448,10 @@ def convert_timm_efficientnetv2(src, *, strict: bool = True):
     )
     if unmatched and strict:
         raise ValueError(
-            f"[convert_timm_efficientnetv2] {len(unmatched)} unmatched keys: "
-            f"{unmatched[:8]}..."
+            "[convert_timm_efficientnetv2] "
+            + unmatched_report(
+                timm_efficientnetv2_rules(), state_dict, unmatched
+            )
         )
     return params, batch_stats, unmatched
 
@@ -457,8 +498,8 @@ def convert_swin_hub(src, *, strict: bool = True):
     params, batch_stats, unmatched = _apply_rules(state_dict, swin_hub_rules())
     if unmatched and strict:
         raise ValueError(
-            f"[convert_swin_hub] {len(unmatched)} unmatched keys: "
-            f"{unmatched[:8]}..."
+            "[convert_swin_hub] "
+            + unmatched_report(swin_hub_rules(), state_dict, unmatched)
         )
     return params, batch_stats, unmatched
 
@@ -594,7 +635,9 @@ def convert_pth(pth_path: str, out_path: str, *, strict: bool = True) -> str:
     state_dict = ckpt.get("model") or ckpt.get("model_state_dict")
     params, batch_stats, unmatched = convert_state_dict(network, state_dict)
     if unmatched:
-        msg = f"[convert_pth] {len(unmatched)} unmatched keys: {unmatched[:8]}..."
+        msg = "[convert_pth] " + unmatched_report(
+            rules_for(network), state_dict, unmatched
+        )
         if strict:
             raise ValueError(msg)
         print(msg, file=sys.stderr)
@@ -624,7 +667,14 @@ def convert_pth(pth_path: str, out_path: str, *, strict: bool = True) -> str:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) != 3:
-        print("usage: python -m p4fr_tpu.utils.convert_pth ref.pth out.ckpt")
+    argv = [a for a in sys.argv[1:] if a != "--report"]
+    report = len(argv) != len(sys.argv) - 1
+    if len(argv) != 2:
+        print(
+            "usage: python -m p4fr_tpu.utils.convert_pth [--report] "
+            "ref.pth out.ckpt\n"
+            "  --report: convert what matches and print a diagnostic for "
+            "unmatched keys instead of failing"
+        )
         sys.exit(1)
-    print(convert_pth(sys.argv[1], sys.argv[2]))
+    print(convert_pth(argv[0], argv[1], strict=not report))

@@ -55,6 +55,23 @@ def test_train_then_infer_cli(tmp_path, tokens_path):
     )
     assert dict(dp_results) == dict(results)
 
+    # --preprocess host (legacy cv2-normalized f32 feed) must agree with
+    # the default device path: on CPU both standardize in f32 with the
+    # same op order, so predictions match exactly
+    host_dir = tmp_path / "out_host"
+    host_results = infer_cli.main(
+        [
+            "--inference_type", "single",
+            "--checkpoint", ckpt,
+            "--file_path", str(inp),
+            "--output_dir", str(host_dir),
+            "--max_sequence", "6",
+            "--batch_size", "4",
+            "--preprocess", "host",
+        ]
+    )
+    assert dict(host_results) == dict(results)
+
 
 def test_data_parallel_rejects_indivisible_batch(tmp_path, tokens_path):
     from p4fr_tpu.infer.single import default_mesh
