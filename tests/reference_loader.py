@@ -77,6 +77,14 @@ def load_reference():
     lite_satrn = _load_by_path(
         "_ref_networks_lite_satrn", REF / "networks" / "LiteSATRN.py"
     )
+    # Loads fine with the timm stub (timm.create_model is only called in
+    # the EfficientNet encoder constructor, which the tests never build);
+    # used for the REAL best-first beam_search (EfficientSATRN.py:708-867),
+    # which only touches self.encoder/self.decoder — interface-compatible
+    # with the real LiteSATRN instance the tests pass as ``self``.
+    efficient_satrn = _load_by_path(
+        "_ref_networks_efficient_satrn", REF / "networks" / "EfficientSATRN.py"
+    )
     cosine = _load_by_path(
         "_ref_sched_cosine", REF / "schedulers" / "cosineannealing.py"
     )
@@ -91,6 +99,7 @@ def load_reference():
         decoding=decoding,
         postprocessing=postprocessing,
         lite_satrn=lite_satrn,
+        efficient_satrn=efficient_satrn,
         cosine=cosine,
         circular=circular,
         tf_sched=tf_sched,

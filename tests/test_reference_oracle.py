@@ -307,3 +307,98 @@ def test_teacher_forcing_vs_real_reference(ref):
             want = float(real.step())
             got = mine.step()
             assert abs(got - want) < 1e-12, (i, got, want)
+
+
+def test_beam_vs_real_best_first_beam(ref, vocab):
+    """Quantified comparison against the REAL best-first beam search
+    (EfficientSATRN.beam_search run unbound with the real LiteSATRN as
+    ``self`` — it only touches .encoder/.decoder, which LiteSATRN shares).
+
+    The rebuild's lockstep batched beam is a documented deviation
+    (decoding/beam.py:19-22); this test measures how often the two
+    disagree on peaked ("real-ish") logit streams and pins a floor on
+    the agreement rate.
+    """
+    import types as _types
+
+    from p4fr_tpu.data.vocab import id_to_string
+    from p4fr_tpu.decoding.beam import make_beam_fn
+
+    nb, steps, width = 6, 12, 3
+    # A random-init model never emits <EOS>, which makes the comparison
+    # degenerate (best-first stops on the first popped EOS node, lockstep
+    # runs the full length). Briefly overfit the tiny model on synthetic
+    # formulas so EOS/token probabilities are trained-model-shaped, then
+    # inverse-convert the SAME weights into the real torch LiteSATRN.
+    from helpers import synth_images, synth_labels
+    from test_convert_pth import _inverse_state_dict_litesatrn
+
+    from p4fr_tpu.train.steps import (
+        TrainState, build_optimizer, make_train_step,
+    )
+
+    jmodel = tiny_satrn(num_classes=len(vocab), pad_id=vocab.pad_id,
+                        sos_id=vocab.sos_id)
+    images = synth_images(nb, seed=13)
+    labels = jnp.asarray(synth_labels(nb, steps + 1, seed=14))
+    variables = jmodel.init(
+        {"params": jax.random.PRNGKey(11), "dropout": jax.random.PRNGKey(12)},
+        jnp.asarray(images), labels, train=False,
+    )
+    optimizer = build_optimizer("AdamW", 3e-3, weight_decay=0.0,
+                                max_grad_norm=2.0)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    step = make_train_step(jmodel, optimizer, vocab.pad_id)
+    rng_key = jax.random.PRNGKey(0)
+    for _ in range(50):
+        state, metrics, _ = step(state, jnp.asarray(images), labels,
+                                 rng_key, teacher_forced=True)
+    assert float(metrics["loss"]) < 1.0, float(metrics["loss"])
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    # same weights into the REAL torch LiteSATRN via the inverse key map
+    params_np = jax.tree_util.tree_map(np.asarray, state.params)
+    stats_np = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+    sd = _inverse_state_dict_litesatrn(params_np, stats_np)
+    tmodel = _ref_lite_satrn(ref, vocab, seed=11)
+    tmodel.load_state_dict(sd, strict=True)
+    tmodel.eval()
+    dl_stub = _types.SimpleNamespace(
+        dataset=_types.SimpleNamespace(token_to_id=dict(vocab.token_to_id))
+    )
+
+    with cpu_get_device(), torch.no_grad():
+        want = ref.efficient_satrn.EfficientSATRN.beam_search(
+            tmodel,
+            torch.tensor(images).permute(0, 3, 1, 2),
+            dl_stub,
+            topk=1,
+            beam_width=width,
+            max_sequence=steps,
+        ).numpy()
+
+    fn = jax.jit(
+        make_beam_fn(jmodel, max_steps=steps, beam_width=width,
+                     eos_id=vocab.eos_id)
+    )
+    got = np.asarray(fn(variables, jnp.asarray(images)))
+
+    def strings(tok):
+        return id_to_string(
+            tok, vocab.id_to_token, sos_id=vocab.sos_id,
+            eos_id=vocab.eos_id, pad_id=vocab.pad_id, do_eval=True,
+        )
+
+    want_s = strings(want)  # reference rows include the leading <SOS>
+    got_s = strings(got)
+    agree = sum(a == b for a, b in zip(want_s, got_s))
+    print(f"[beam-vs-best-first] agreement {agree}/{nb}: "
+          f"{list(zip(want_s, got_s))}")
+    # both searches maximize the same length-normalized score; on peaked
+    # distributions they should usually find the same argmax sequence
+    assert agree >= nb - 2, (want_s, got_s)
