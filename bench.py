@@ -675,7 +675,8 @@ def _run_decode_bench(args, jax, jnp, fn, variables, images, u8_batches,
                   + ("sorted-batches, " if args.early_stop
                      and args.sort_lengths else "")
                   + path_label
-                  + "u8 on-device standardize, "
+                  + ("f32 device-resident, " if args.device_resident
+                     else "u8 on-device standardize, ")
                   + f"pipelined x{args.iters}, "
                   + f"{jax.default_backend()})",
         "value": round(headline, 2),
