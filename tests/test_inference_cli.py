@@ -73,6 +73,54 @@ def test_train_then_infer_cli(tmp_path, tokens_path):
     assert dict(host_results) == dict(results)
 
 
+def test_early_stop_sorted_batching_preserves_outputs(tmp_path, tokens_path):
+    """--early_stop sorts eval batches by image aspect (size_proxy); the
+    predictions and the output.csv row ORDER must match the unsorted
+    run (rows are restored to input.txt order)."""
+    import inference as infer_cli
+    from p4fr_tpu.train import single_opt
+
+    gt = make_synth_dataset(str(tmp_path), n=6, folds=2, height=40,
+                            width=80)
+    # vary image sizes so the sort actually permutes
+    import numpy as np
+    from PIL import Image
+
+    img_dir = tmp_path / "images"
+    rng = np.random.default_rng(3)
+    for i, name in enumerate(sorted(os.listdir(img_dir))):
+        h = int(rng.integers(30, 60))
+        w = int(rng.integers(40, 160))
+        arr = (rng.random((h, w, 3)) * 255).astype("uint8")
+        Image.fromarray(arr).save(img_dir / name)
+
+    options = tiny_train_options(gt, tokens_path, epochs=1, batch_size=2)
+    single_opt.main(options, max_label_len=10)
+    ckpt = os.path.join(
+        options.prefix, "checkpoints", "LiteSATRN_best_model.ckpt"
+    )
+    inp = tmp_path / "input.txt"
+    names = sorted(os.listdir(img_dir))
+    inp.write_text("".join(n + "\t\n" for n in names))
+
+    base_args = [
+        "--inference_type", "single", "--checkpoint", ckpt,
+        "--file_path", str(inp), "--max_sequence", "6",
+        "--batch_size", "2",
+    ]
+    plain = infer_cli.main(
+        base_args + ["--output_dir", str(tmp_path / "o1")]
+    )
+    sorted_run = infer_cli.main(
+        base_args + ["--output_dir", str(tmp_path / "o2"),
+                     "--early_stop", "true"]
+    )
+    assert dict(sorted_run) == dict(plain)
+    # file row order restored to input order
+    rows = (tmp_path / "o2" / "output.csv").read_text().splitlines()
+    assert [r.split("\t")[0] for r in rows] == names
+
+
 def test_data_parallel_rejects_indivisible_batch(tmp_path, tokens_path):
     from p4fr_tpu.infer.single import default_mesh
 
