@@ -1,0 +1,164 @@
+#!/usr/bin/env python
+"""Decode-step cost decomposition by program variants (TPU).
+
+docs/PERFORMANCE.md r2 put the v2 decode ~2.5x above a computed DMA
+floor, but the floor overcounted (it assumed S=512; the real flagship
+encoder emits S=128, so the true per-step traffic at B=256 is ~72 MB
+~= 90 us — the kernel is mostly NOT DMA-bound). This script attributes
+the per-step time by measuring scan programs that differ in ONE knob:
+
+- layers 1 vs 3          -> per-layer cost + fixed step cost
+- src length 128 vs 8    -> cross-attention (DMA + compute) share
+- pos 0-230 vs pinned 8  -> self-attention prefix share
+- chunk 64 vs 128, tb 32 vs 16 -> tiling sensitivity
+
+Each variant runs the REAL v2 kernel in a lax.scan with a constant
+token (no embedding/generator/manager glue), bench-style pipelined
+timing. Run on the real chip:  python examples/decode_decompose.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--steps", type=int, default=230)
+    p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--hidden", type=int, default=256)
+    p.add_argument("--heads", type=int, default=8)
+    p.add_argument("--filter", type=int, default=1024)
+    p.add_argument("--src-len", type=int, default=128)
+    p.add_argument("--quick", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.quick:
+        jax.config.update("jax_platforms", "cpu")
+        args.batch, args.steps, args.iters = 8, 8, 2
+        args.hidden, args.heads, args.filter = 128, 4, 256
+    else:
+        try:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.environ.get("JAX_CACHE_DIR", "/tmp/p4fr_jax_cache"),
+            )
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+
+    from p4fr_tpu.ops.pallas.decoder_layer_v2 import decoder_layer_step_v2
+
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    H, F = args.hidden, args.filter
+    rng = np.random.default_rng(0)
+
+    def w(*shape):
+        return jnp.asarray(
+            rng.normal(size=shape, scale=0.02).astype(np.float32), dtype
+        )
+
+    def layer_weights():
+        return (
+            w(H, 3 * H), w(3 * H), w(H, H), w(H),
+            jnp.stack([w(H), w(H)]),
+            w(H, H), w(H), w(H, H), w(H), jnp.stack([w(H), w(H)]),
+            w(H, F), w(F), w(F, H), w(H), jnp.stack([w(H), w(H)]),
+        )
+
+    def build(layers, src_len, *, chunk=64, tb=32, fixed_pos=None,
+              tiled=False, max_len=None):
+        max_len = max_len or ((args.steps + chunk - 1) // chunk) * chunk
+        weights = [layer_weights() for _ in range(layers)]
+        x0 = w(args.batch, H)
+        src_kv = w(args.batch, src_len, 2 * H)
+
+        if tiled:
+            from p4fr_tpu.ops.pallas.decoder_layer_v2 import (
+                tiled_cache_shape,
+            )
+
+            cshape = tiled_cache_shape(args.batch, max_len, H, tb)
+        else:
+            cshape = (args.batch, max_len, 2 * H)
+        caches0 = tuple(jnp.zeros(cshape, dtype) for _ in range(layers))
+
+        step = functools.partial(
+            decoder_layer_step_v2, head_num=args.heads, cache_outputs=True,
+            batch_tile=tb, chunk=chunk, interpret=not on_tpu,
+            tiled_cache=tiled,
+        )
+
+        def body(carry, t):
+            x, caches = carry
+            pos = jnp.asarray(fixed_pos, jnp.int32) if fixed_pos is not None else t
+            new_caches = []
+            out = x0  # constant re-injection: isolates the kernels
+            for wts, cache in zip(weights, caches):
+                out, cache = step(out, pos, cache, src_kv, wts)
+                new_caches.append(cache)
+            return (out, tuple(new_caches)), ()
+
+        @jax.jit
+        def run():
+            (xf, _), _ = jax.lax.scan(
+                body, (x0, caches0), jnp.arange(args.steps)
+            )
+            return xf
+
+        return run
+
+    def timeit(label, fn):
+        t0 = time.perf_counter()
+        np.asarray(fn())
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        outs = [fn() for _ in range(args.iters)]
+        for o in outs:
+            np.asarray(o)
+        per_step = (time.perf_counter() - t0) / args.iters / args.steps
+        print(json.dumps({
+            "variant": label,
+            "us_per_step": round(per_step * 1e6, 1),
+            "compile_s": round(compile_s, 1),
+        }), flush=True)
+        return per_step
+
+    base = timeit("3L full (pos=t, S=%d)" % args.src_len,
+                  build(3, args.src_len))
+    one = timeit("1L full", build(1, args.src_len))
+    nosrc = timeit("3L tiny-cross (S=8)", build(3, 8))
+    nopre = timeit("3L no-prefix (pos=8 pinned)",
+                   build(3, args.src_len, fixed_pos=8))
+    tiled = timeit("3L tiled-cache", build(3, args.src_len, tiled=True))
+    ck128 = timeit("3L chunk=128", build(3, args.src_len, chunk=128))
+    tb16 = timeit("3L tb=16", build(3, args.src_len, tb=16))
+
+    print(json.dumps({
+        "metric": "v2 decode decomposition (B=%d)" % args.batch,
+        "per_layer_us": round((base - one) / 2 * 1e6, 1),
+        "fixed_step_us": round((3 * one - base) / 2 * 1e6, 1),
+        "cross_share_us": round((base - nosrc) * 1e6, 1),
+        "self_prefix_share_us": round((base - nopre) * 1e6, 1),
+        "tiled_delta_us": round((tiled - base) * 1e6, 1),
+        "chunk128_delta_us": round((ck128 - base) * 1e6, 1),
+        "tb16_delta_us": round((tb16 - base) * 1e6, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
