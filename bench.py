@@ -100,10 +100,11 @@ def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="tiny CPU-friendly sanity run")
-    parser.add_argument("--batch", type=int, default=256,
+    parser.add_argument("--batch", type=int, default=None,
                         help="per-chip batch; decode is latency-bound so "
                         "large batches amortize (32=reference default; "
-                        "256 measured best-throughput on v5e)")
+                        "256 measured best-throughput on v5e). Default: "
+                        "256 for decode modes, 64 for --train")
     parser.add_argument("--steps", type=int, default=230)
     parser.add_argument("--iters", type=int, default=8,
                         help="batches enqueued for the pipelined "
@@ -175,6 +176,10 @@ def main(argv=None):
                         "stop steps are injected via the documented "
                         "stop_override benchmarking hook")
     args = parser.parse_args(argv)
+    if args.batch is None:
+        # decode modes are throughput-bound at large batch; the train
+        # step's measured sweet spot is 64 (docs/PERFORMANCE.md)
+        args.batch = 64 if args.train else 256
 
     # Probe TPU availability in a subprocess first: a dead axon tunnel
     # makes jax device init hang indefinitely inside this process, which
@@ -297,7 +302,7 @@ def main(argv=None):
             TrainState, build_optimizer, make_train_step,
         )
 
-        batch = 64 if args.batch == 256 else args.batch
+        batch = args.batch
         if args.quick:
             batch = min(batch, 4)
         images_t = jnp.asarray(
