@@ -128,10 +128,14 @@ def main(argv=None):
                         "(decoding/beam.py) at --beam-width")
     parser.add_argument("--beam-width", type=int, default=3)
     parser.add_argument("--ensemble", action="store_true",
-                        help="benchmark the 2-model HBM-resident joint "
-                        "ensemble (--network + EfficientASTER): per-model "
+                        help="benchmark the HBM-resident joint ensemble "
+                        "(--network + --ensemble-members): per-model "
                         "encoders + one fused softmax-averaging decode "
                         "scan (infer/ensemble.py)")
+    parser.add_argument("--ensemble-members", default="EfficientASTER",
+                        help="comma-separated partner networks joined "
+                        "with --network for --ensemble (BASELINE config "
+                        "#5 is EfficientASTER,SwinTRN)")
     parser.add_argument("--label-len", type=int, default=64,
                         help="training label length (train mode)")
     parser.add_argument("--pallas-v2", dest="pallas_v2", default=None,
@@ -488,10 +492,12 @@ def main(argv=None):
 
 def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
                     variables, images, u8_batches):
-    """2-model joint ensemble throughput: per-model encoders at their own
+    """N-model joint ensemble throughput: per-model encoders at their own
     resolutions + ONE softmax-averaging decode scan (infer/ensemble.py),
     honest u8 host feed per iteration (BASELINE config #5 analog:
-    inference_modules/inference_ensemble.py:46-248)."""
+    inference_modules/inference_ensemble.py:46-248). Partners come from
+    --ensemble-members (default EfficientASTER; pass
+    "EfficientASTER,SwinTRN" for the full 3-model baseline config)."""
     import time
 
     from p4fr_tpu.infer.ensemble import make_ensemble_decode_fn
@@ -499,32 +505,36 @@ def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
     from p4fr_tpu.ops.pallas.preprocess import standardize
     from p4fr_tpu.utils.flags import Flags
 
-    partner_name = (
-        "EfficientASTER" if args.network != "EfficientASTER"
-        else "EfficientSATRN"
-    )
-    p_opts = Flags(f"p4fr_tpu/configs/{partner_name}.yaml").get()
-    if args.quick:
-        p_opts.input_size.height = 64
-        p_opts.input_size.width = 128
-        if hasattr(p_opts, "SATRN"):
-            p_opts.SATRN.encoder.layer_num = 1
-            p_opts.SATRN.decoder.layer_num = 1
-    partner = get_network(partner_name, p_opts, vocab, dtype=dtype)
-    ph, pw = p_opts.input_size.height, p_opts.input_size.width
-    p_init = jnp.asarray(rng.normal(size=(1, ph, pw, 3)).astype(np.float32))
+    member_names = [n for n in args.ensemble_members.split(",") if n]
+    models, vars_list, member_u8 = [model], [variables], [u8_batches]
     text1 = jnp.full((1, 8), vocab.pad_id, jnp.int32)
-    p_vars = partner.init(
-        {"params": jax.random.PRNGKey(4), "dropout": jax.random.PRNGKey(5)},
-        p_init, text1, train=False,
-    )
-    p_u8 = [
-        rng.integers(0, 256, size=(args.batch, ph, pw, 3), dtype=np.uint8)
-        for _ in range(args.iters)
-    ]
+    for j, partner_name in enumerate(member_names):
+        cfg = "SWIN" if partner_name in ("SwinTRN", "SWIN") else partner_name
+        p_opts = Flags(f"p4fr_tpu/configs/{cfg}.yaml").get()
+        if args.quick:
+            p_opts.input_size.height = 64
+            p_opts.input_size.width = 128
+            if hasattr(p_opts, "SATRN"):
+                p_opts.SATRN.encoder.layer_num = 1
+                p_opts.SATRN.decoder.layer_num = 1
+        partner = get_network(partner_name, p_opts, vocab, dtype=dtype)
+        ph, pw = p_opts.input_size.height, p_opts.input_size.width
+        p_init = jnp.asarray(
+            rng.normal(size=(1, ph, pw, 3)).astype(np.float32)
+        )
+        p_vars = partner.init(
+            {"params": jax.random.PRNGKey(4 + 2 * j),
+             "dropout": jax.random.PRNGKey(5 + 2 * j)},
+            p_init, text1, train=False,
+        )
+        models.append(partner)
+        vars_list.append(p_vars)
+        member_u8.append([
+            rng.integers(0, 256, size=(args.batch, ph, pw, 3),
+                         dtype=np.uint8)
+            for _ in range(args.iters)
+        ])
 
-    models = [model, partner]
-    vars_list = [variables, p_vars]
     kernel = "pallas_v2" if args.pallas_v2 else "jnp"
     encoders = [
         jax.jit(
@@ -542,8 +552,8 @@ def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
 
     def call(i):
         mems = [
-            encoders[0](variables, u8_batches[i % args.iters]),
-            encoders[1](p_vars, p_u8[i % args.iters]),
+            enc(v, u8s[i % args.iters])
+            for enc, v, u8s in zip(encoders, vars_list, member_u8)
         ]
         return decode(vars_list, mems)
 
@@ -568,12 +578,12 @@ def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
     t0 = time.perf_counter()
     jax.block_until_ready(jax.device_put(probe))
     h2d_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
-    u8_dev = [jax.device_put(u8_batches[0]), jax.device_put(p_u8[0])]
+    u8_dev = [jax.device_put(u8s[0]) for u8s in member_u8]
 
     def dr_call(i):
         mems = [
-            encoders[0](variables, u8_dev[0]),
-            encoders[1](p_vars, u8_dev[1]),
+            enc(v, u8)
+            for enc, v, u8 in zip(encoders, vars_list, u8_dev)
         ]
         return decode(vars_list, mems)
 
@@ -585,7 +595,8 @@ def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
     dr_img_per_sec = args.batch * args.iters / (time.perf_counter() - t0)
 
     result = {
-        "metric": f"ensemble[{args.network}+{partner_name}] joint greedy "
+        "metric": f"ensemble[{'+'.join([args.network] + member_names)}] "
+                  f"joint greedy "
                   f"decode (batch {args.batch}, {args.steps} steps, "
                   f"manager={'on' if tables is not None else 'off'}, "
                   f"{kernel}, u8 on-device standardize, pipelined "
