@@ -108,6 +108,106 @@ def load_reference():
     return ns
 
 
+def load_reference_full():
+    """Additionally import the real ``utils`` package (ensemble_utils,
+    metrics, data_utils, id_to_string) and the remaining real network
+    files (EfficientASTER, SWIN).
+
+    The reference's ``utils/__init__.py`` pulls in every network plus
+    wandb/editdistance/psutil; the stubs below supply exactly the
+    third-party surface the imports touch (wandb is never exercised by
+    tests; editdistance.eval is backed by p4fr_tpu.native so the real
+    metrics.py runs its own averaging/splitting logic unmodified).
+    """
+    if "full" in _CACHE:
+        return _CACHE["full"]
+    ns = load_reference()
+
+    import torch
+    from torch import nn
+
+    timm_stub = sys.modules["timm"]
+    if not hasattr(timm_stub, "models"):
+        # SWIN.py:7 imports DropPath/to_2tuple/trunc_normal_ from
+        # timm.models.layers; tests only construct the decoder halves,
+        # so eval-mode-faithful minimal implementations suffice.
+        class DropPath(nn.Module):
+            def __init__(self, drop_prob=None):
+                super().__init__()
+                self.drop_prob = drop_prob or 0.0
+
+            def forward(self, x):  # identity in eval mode
+                return x
+
+        layers = types.ModuleType("timm.models.layers")
+        layers.DropPath = DropPath
+        layers.to_2tuple = lambda x: x if isinstance(x, tuple) else (x, x)
+        layers.trunc_normal_ = torch.nn.init.trunc_normal_
+        models_mod = types.ModuleType("timm.models")
+        models_mod.layers = layers
+        timm_stub.models = models_mod
+        sys.modules["timm.models"] = models_mod
+        sys.modules["timm.models.layers"] = layers
+
+    if "wandb" not in sys.modules:
+        wandb_stub = types.ModuleType("wandb")
+
+        def _no_wandb(*a, **k):
+            raise RuntimeError("wandb stub: tests never log to wandb")
+
+        wandb_stub.init = _no_wandb
+        wandb_stub.log = _no_wandb
+        wandb_stub.watch = _no_wandb
+        wandb_stub.run = None
+        sys.modules["wandb"] = wandb_stub
+
+    if "editdistance" not in sys.modules:
+        from p4fr_tpu.native import edit_distance
+
+        ed_stub = types.ModuleType("editdistance")
+        ed_stub.eval = edit_distance
+        sys.modules["editdistance"] = ed_stub
+
+    aster = _load_by_path(
+        "_ref_networks_efficient_aster", REF / "networks" / "EfficientASTER.py"
+    )
+    swin = _load_by_path("_ref_networks_swin", REF / "networks" / "SWIN.py")
+
+    # utils/utils.py:15 does `from networks import (...)`; expose the real
+    # classes from the already-loaded real modules under that name.
+    networks_pkg = types.ModuleType("networks")
+    networks_pkg.__path__ = []
+    for mod in (ns.efficient_satrn, ns.lite_satrn, aster, swin):
+        for name in dir(mod):
+            obj = getattr(mod, name)
+            if isinstance(obj, type) and issubclass(obj, nn.Module):
+                setattr(networks_pkg, name, obj)
+    sys.modules["networks"] = networks_pkg
+
+    spec = importlib.util.spec_from_file_location(
+        "utils",
+        str(REF / "utils" / "__init__.py"),
+        submodule_search_locations=[str(REF / "utils")],
+    )
+    utils_pkg = importlib.util.module_from_spec(spec)
+    sys.modules["utils"] = utils_pkg
+    spec.loader.exec_module(utils_pkg)
+    ensemble_utils = importlib.import_module("utils.ensemble_utils")
+
+    full = types.SimpleNamespace(
+        aster=aster,
+        swin=swin,
+        utils=utils_pkg,
+        utils_utils=sys.modules["utils.utils"],
+        metrics=sys.modules["utils.metrics"],
+        data_utils=sys.modules["utils.data_utils"],
+        ensemble_utils=ensemble_utils,
+        **vars(ns),
+    )
+    _CACHE["full"] = full
+    return full
+
+
 @contextmanager
 def cpu_get_device():
     """Run reference CUDA-assuming code on CPU torch (see module docstring)."""
