@@ -285,17 +285,42 @@ def pallas_decode_step_v2(
     (ops/pallas/decoder_layer_v2.py): HBM-resident cache, prefix-chunk
     DMA with online softmax, single-slot XLA scatter. Caches allocated
     with ``init_fast_cache(tiled_tile=...)`` (4-D) automatically use the
-    tile-contiguous DMA layout."""
-    from p4fr_tpu.ops.pallas.decoder_layer_v2 import decoder_layer_step_v2
+    tile-contiguous DMA layout.
+
+    (batch_tile, chunk, src_hbm) are auto-shrunk per layer shape via
+    ``pick_v2_config`` so wide decoders (SwinTRN hidden=512) fit the 16MB
+    scoped-VMEM limit instead of failing to compile; the measured-fastest
+    flagship config (tb=32/ck=64, VMEM src) is unchanged by the picker.
+    Raises if nothing fits — callers should use the jnp step then."""
+    from p4fr_tpu.ops.pallas.decoder_layer_v2 import (
+        decoder_layer_step_v2,
+        pick_v2_config,
+    )
 
     x = fast.embed_scaled[token] + fast.pos_encoding[pos][None, :]
+    hidden = x.shape[-1]
     new_cache = []
     for layer, kv_cache, ckv in zip(fast.layers, cache, cross_kv):
+        tiled = kv_cache.ndim == 4
+        cfg = pick_v2_config(
+            batch=x.shape[0], hidden=hidden, s_len=ckv.shape[1],
+            filter_dim=layer.w_ff0.shape[1],
+            itemsize=jnp.dtype(kv_cache.dtype).itemsize,
+            batch_tile=kv_cache.shape[2] if tiled else batch_tile,
+            chunk=chunk, max_len=kv_cache.shape[1], fixed_tile=tiled,
+        )
+        if cfg is None:
+            raise ValueError(
+                "no (batch_tile, chunk) config of the v2 kernel fits "
+                f"scoped VMEM for hidden={hidden} s_len={ckv.shape[1]}; "
+                "use the jnp fast path"
+            )
+        tb, ck, src_hbm = cfg
         x, kv_cache = decoder_layer_step_v2(
             x, pos, kv_cache, ckv, layer_weight_tuple(layer),
             head_num=fast.head_num, cache_outputs=fast.cache_outputs,
-            batch_tile=batch_tile, chunk=chunk, interpret=interpret,
-            tiled_cache=kv_cache.ndim == 4,
+            batch_tile=tb, chunk=ck, interpret=interpret,
+            tiled_cache=tiled, src_hbm=src_hbm,
         )
         new_cache.append(kv_cache)
     logits = (x @ fast.w_gen + fast.b_gen).astype(jnp.float32)

@@ -74,7 +74,7 @@ def _kernel(
     # inputs
     x_ref,  # [TB, H] VMEM
     cache_hbm,  # [B, L, 2H] ANY
-    src_kv_ref,  # [TB, S, 2H] VMEM
+    src_kv_ref,  # [TB, S, 2H] VMEM, or [B, S, 2H] ANY when src_hbm
     w_qkv_ref, b_qkv_ref,
     w_out_ref, b_out_ref, ln1_ref,
     w_q2_ref, b_q2_ref, w_out2_ref, b_out2_ref, ln2_ref,
@@ -88,11 +88,14 @@ def _kernel(
     l_buf,  # [TB, HEADS] f32
     acc_buf,  # [TB, H] f32
     chunk_sem,  # DMA sem [2]
+    src_buf=None,  # [TB, S, 2H] VMEM scratch (src_hbm mode only)
+    src_sem=None,  # DMA sem (src_hbm mode only)
     *,
     head_num: int,
     chunk: int,
     cache_outputs: bool,
     tiled: bool = False,
+    src_hbm: bool = False,
 ):
     pos = pos_ref[0]
     i = pl.program_id(0)
@@ -101,6 +104,15 @@ def _kernel(
     tb, hidden = x.shape
     temp = jnp.float32(hidden) ** 0.5
     rows = pl.ds(i * tb, tb)
+    if src_hbm:
+        # single-buffered manual DMA (vs the auto-pipeline's 2 buffers —
+        # that double buffer is what blows the 16MB scoped-VMEM limit for
+        # wide decoders); started first so the self-attention chunk walk
+        # hides its latency, awaited right before cross attention
+        src_copy = pltpu.make_async_copy(
+            src_kv_ref.at[rows], src_buf, src_sem
+        )
+        src_copy.start()
     seg = _head_indicator(hidden, head_num).astype(cdtype)  # [H, heads]
     seg_t = seg.T  # [heads, H]
 
@@ -247,8 +259,13 @@ def _kernel(
                 preferred_element_type=jnp.float32)
         + b_q2_ref[0, :].astype(jnp.float32)
     ).astype(cdtype)
-    ck = src_kv_ref[:, :, :hidden].astype(cdtype)
-    cv = src_kv_ref[:, :, hidden:].astype(cdtype)
+    if src_hbm:
+        src_copy.wait()
+        src = src_buf
+    else:
+        src = src_kv_ref
+    ck = src[:, :, :hidden].astype(cdtype)
+    cv = src[:, :, hidden:].astype(cdtype)
     s2 = seg_scores(q2, ck)  # [TB, S, heads] f32
     s2 = s2 - jnp.max(s2, axis=1, keepdims=True)
     p2 = jnp.exp(s2)
@@ -287,10 +304,72 @@ def _kernel(
     out_ref[:] = out.astype(out_ref.dtype)
 
 
+def scoped_vmem_estimate(
+    *, batch_tile: int, chunk: int, hidden: int, s_len: int,
+    filter_dim: int, itemsize: int, src_hbm: bool,
+) -> int:
+    """Conservative scoped-VMEM demand (bytes) of one kernel instance.
+
+    Mirrors the allocator's accounting: grid-varying input/output blocks
+    are double-buffered by the auto-pipeline; weight blocks (constant
+    index map) are fetched once; scratch is single. Validated against a
+    measured datapoint (SwinTRN dims tb=32/ck=64: estimate 31.9M vs the
+    compiler's reported 28.6M — ~10% conservative)."""
+    tb, two_h = batch_tile, 2 * hidden
+    src = tb * s_len * two_h * itemsize * (1 if src_hbm else 2)
+    chunk_buf = 2 * tb * chunk * two_h * itemsize
+    weights = itemsize * (
+        hidden * 3 * hidden + 3 * hidden          # w_qkv + b
+        + 3 * (hidden * hidden + hidden)          # w_out, w_q2, w_out2 + b
+        + 2 * hidden * filter_dim + filter_dim + hidden  # ff0, ff1 + b
+        + 3 * 2 * hidden                          # ln scale/bias x3
+    )
+    blocks = 2 * (2 * tb * hidden + tb * two_h) * itemsize  # x, out, slot
+    scratch = tb * hidden * 4 + 4 * tb * 64  # acc f32 + m/l (heads<=64)
+    return src + chunk_buf + weights + blocks + scratch
+
+
+# headroom under the default 16MB scoped-VMEM limit, given the estimator
+# runs ~10% hot vs the real allocator
+_VMEM_BUDGET = 15 * 1024 * 1024
+
+
+def pick_v2_config(
+    *, batch: int, hidden: int, s_len: int, filter_dim: int,
+    itemsize: int = 2, batch_tile: int = 32, chunk: int = 64,
+    max_len: int = 0, fixed_tile: bool = False,
+):
+    """Largest (batch_tile, chunk, src_hbm) fitting the scoped-VMEM budget.
+
+    Prefers the measured-fastest default (tb=32/ck=64, pipelined src);
+    engages the single-buffered HBM src path, then smaller tiles, only
+    when the estimate overflows (wide decoders, e.g. SwinTRN's 512-hidden
+    at multi-tile grids). ``fixed_tile`` pins tb to ``batch_tile`` (the
+    tiled-cache layout bakes the tile into the allocation, so the kernel
+    cannot shrink it). Returns None if nothing fits — callers should fall
+    back to the jnp step."""
+    if fixed_tile:
+        tbs = [batch_tile]
+    else:
+        tbs = [t for t in (batch_tile, 32, 16) if t <= max(batch, 16)]
+    cks = [c for c in (chunk, 64, 32) if max_len == 0 or max_len % c == 0]
+    for src_hbm in (False, True):
+        for tb in dict.fromkeys(tbs):
+            for ck in dict.fromkeys(cks):
+                est = scoped_vmem_estimate(
+                    batch_tile=tb, chunk=ck, hidden=hidden, s_len=s_len,
+                    filter_dim=filter_dim, itemsize=itemsize,
+                    src_hbm=src_hbm,
+                )
+                if est <= _VMEM_BUDGET:
+                    return tb, ck, src_hbm
+    return None
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("head_num", "cache_outputs", "batch_tile", "chunk",
-                     "interpret", "tiled_cache"),
+                     "interpret", "tiled_cache", "src_hbm"),
 )
 def decoder_layer_step_v2(
     x: jnp.ndarray,  # [B, H]
@@ -305,8 +384,15 @@ def decoder_layer_step_v2(
     chunk: int = 64,
     interpret: bool = False,
     tiled_cache: bool = False,
+    src_hbm: bool = False,
 ):
     """Flash-decode fused layer step -> (out [B, H], new cache).
+
+    ``src_hbm``: keep the cross-attention src K/V in HBM and DMA the
+    batch tile into a single scratch buffer inside the kernel (started
+    before the self-attention chunk walk, awaited at cross attention).
+    Halves the src VMEM footprint vs the auto-pipeline's double buffer —
+    required for wide decoders (see pick_v2_config).
 
     Defaults tuned on v5e with bf16 compute (1-layer 230-step scan):
     tb=32/ck=64 199us/step vs tb=16/ck=64 203 and tb=16/ck=128 207;
@@ -349,12 +435,28 @@ def decoder_layer_step_v2(
 
     kernel = functools.partial(
         _kernel, head_num=head_num, chunk=chunk,
-        cache_outputs=cache_outputs, tiled=tiled_cache,
+        cache_outputs=cache_outputs, tiled=tiled_cache, src_hbm=src_hbm,
     )
     chunk_buf_shape = (
         (2, chunk, tb, 2 * hidden) if tiled_cache
         else (2, tb, chunk, 2 * hidden)
     )
+    src_spec = (
+        pl.BlockSpec(memory_space=pl.ANY) if src_hbm
+        else batch_spec((s_len, 2 * hidden))
+    )
+    scratch = [
+        pltpu.VMEM(chunk_buf_shape, cache.dtype),
+        pltpu.VMEM((tb, head_num), jnp.float32),
+        pltpu.VMEM((tb, head_num), jnp.float32),
+        pltpu.VMEM((tb, hidden), jnp.float32),
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
+    if src_hbm:
+        scratch += [
+            pltpu.VMEM((tb, s_len, 2 * hidden), src_kv.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
     out, kv_slot = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -363,7 +465,7 @@ def decoder_layer_step_v2(
             in_specs=[
                 batch_spec((hidden,)),
                 pl.BlockSpec(memory_space=pl.ANY),  # cache stays in HBM
-                batch_spec((s_len, 2 * hidden)),
+                src_spec,
                 full_spec(w_qkv.shape),
                 full_spec((1, 3 * hidden)),
                 full_spec(w_out.shape),
@@ -384,13 +486,7 @@ def decoder_layer_step_v2(
                 batch_spec((hidden,)),
                 batch_spec((2 * hidden,)),
             ],
-            scratch_shapes=[
-                pltpu.VMEM(chunk_buf_shape, cache.dtype),
-                pltpu.VMEM((tb, head_num), jnp.float32),
-                pltpu.VMEM((tb, head_num), jnp.float32),
-                pltpu.VMEM((tb, hidden), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, hidden), x.dtype),

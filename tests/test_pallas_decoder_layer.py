@@ -81,6 +81,89 @@ def test_pallas_v2_flash_decode_matches_fast_step():
             token = jnp.argmax(l1, -1).astype(jnp.int32)
 
 
+def test_pallas_v2_src_hbm_matches_fast_step():
+    """src_hbm=True: cross-attention K/V stays in HBM and is manually
+    DMA'd into a single scratch buffer — numerics must be unchanged."""
+    from p4fr_tpu.decoding.fast_step import layer_weight_tuple
+    from p4fr_tpu.ops.pallas.decoder_layer_v2 import decoder_layer_step_v2
+
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    src = model.apply(variables, images, method="encode")
+    fast = build_fast_decoder(model, variables)
+    cross = precompute_cross_kv(fast, src)
+    c1 = init_fast_cache(fast, B, 8)
+    c2 = init_fast_cache(fast, B, 8)
+    token = jnp.zeros((B,), jnp.int32)
+    layer = fast.layers[0]
+    x = fast.embed_scaled[token] + fast.pos_encoding[0][None, :]
+    for t in range(3):
+        pos = jnp.asarray(t)
+        o1, n1 = decoder_layer_step_v2(
+            x, pos, c1[0], cross[0], layer_weight_tuple(layer),
+            head_num=fast.head_num, cache_outputs=fast.cache_outputs,
+            batch_tile=2, chunk=4, interpret=True, src_hbm=False,
+        )
+        o2, n2 = decoder_layer_step_v2(
+            x, pos, c2[0], cross[0], layer_weight_tuple(layer),
+            head_num=fast.head_num, cache_outputs=fast.cache_outputs,
+            batch_tile=2, chunk=4, interpret=True, src_hbm=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1), np.asarray(o2), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(n1), np.asarray(n2), rtol=1e-6, atol=1e-6
+        )
+        c1 = (n1,) + c1[1:]
+        c2 = (n2,) + c2[1:]
+        x = o1
+
+
+def test_pick_v2_config():
+    """VMEM auto-config: flagship dims keep the measured-fastest default;
+    wide (SwinTRN) dims degrade to a fitting (tile, chunk, src_hbm)."""
+    from p4fr_tpu.ops.pallas.decoder_layer_v2 import (
+        _VMEM_BUDGET,
+        pick_v2_config,
+        scoped_vmem_estimate,
+    )
+
+    # flagship EfficientSATRN decode: hidden=256, src 8x16=128, bf16
+    assert pick_v2_config(
+        batch=256, hidden=256, s_len=128, filter_dim=1024,
+        itemsize=2, max_len=256,
+    ) == (32, 64, False)
+    # SwinTRN decoder (hidden=512) overflowed scoped VMEM at tb=32/ck=64
+    # (compiler reported 28.6M > 16M): must pick a smaller config
+    cfg = pick_v2_config(
+        batch=32, hidden=512, s_len=144, filter_dim=512,
+        itemsize=2, max_len=256,
+    )
+    assert cfg is not None and cfg != (32, 64, False)
+    tb, ck, src_hbm = cfg
+    assert scoped_vmem_estimate(
+        batch_tile=tb, chunk=ck, hidden=512, s_len=144, filter_dim=512,
+        itemsize=2, src_hbm=src_hbm,
+    ) <= _VMEM_BUDGET
+    # fixed_tile pins tb (tiled-cache allocations cannot shrink it)
+    fixed = pick_v2_config(
+        batch=32, hidden=512, s_len=144, filter_dim=512,
+        itemsize=2, max_len=256, fixed_tile=True, batch_tile=16,
+    )
+    assert fixed is not None and fixed[0] == 16
+    # chunk candidates respect max_len divisibility (tiny test models)
+    assert pick_v2_config(
+        batch=4, hidden=64, s_len=16, filter_dim=128,
+        itemsize=4, max_len=8, batch_tile=2, chunk=4,
+    ) == (2, 4, False)
+
+
 def test_pallas_v2_tiled_cache_matches_fast_step():
     """tiled_cache=True: the [G, L, TB, 2H] tile-contiguous layout must
     reproduce the jnp fast step exactly (the DMA geometry changes, the
