@@ -81,7 +81,7 @@ def main(argv=None):
         )
 
     def build(layers, src_len, *, chunk=64, tb=32, fixed_pos=None,
-              tiled=False, max_len=None):
+              tiled=False, max_len=None, src_hbm=False):
         max_len = max_len or ((args.steps + chunk - 1) // chunk) * chunk
         weights = [layer_weights() for _ in range(layers)]
         x0 = w(args.batch, H)
@@ -100,7 +100,7 @@ def main(argv=None):
         step = functools.partial(
             decoder_layer_step_v2, head_num=args.heads, cache_outputs=True,
             batch_tile=tb, chunk=chunk, interpret=not on_tpu,
-            tiled_cache=tiled,
+            tiled_cache=tiled, src_hbm=src_hbm,
         )
 
         def body(carry, t):
@@ -147,6 +147,12 @@ def main(argv=None):
     tiled = timeit("3L tiled-cache", build(3, args.src_len, tiled=True))
     ck128 = timeit("3L chunk=128", build(3, args.src_len, chunk=128))
     tb16 = timeit("3L tb=16", build(3, args.src_len, tb=16))
+    # src_hbm single-buffers the cross K/V -> VMEM headroom for tb=64,
+    # which was the fastest standalone tile in r2 but could not fit
+    shbm = timeit("3L src_hbm (tb=32 ck=64)",
+                  build(3, args.src_len, src_hbm=True))
+    tb64 = timeit("3L tb=64 ck=32 src_hbm",
+                  build(3, args.src_len, tb=64, chunk=32, src_hbm=True))
 
     print(json.dumps({
         "metric": "v2 decode decomposition (B=%d)" % args.batch,
@@ -157,6 +163,8 @@ def main(argv=None):
         "tiled_delta_us": round((tiled - base) * 1e6, 1),
         "chunk128_delta_us": round((ck128 - base) * 1e6, 1),
         "tb16_delta_us": round((tb16 - base) * 1e6, 1),
+        "src_hbm_delta_us": round((shbm - base) * 1e6, 1),
+        "tb64_src_hbm_delta_us": round((tb64 - base) * 1e6, 1),
     }))
 
 
