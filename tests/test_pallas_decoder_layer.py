@@ -134,9 +134,16 @@ def test_pick_v2_config():
         scoped_vmem_estimate,
     )
 
-    # flagship EfficientSATRN decode: hidden=256, src 8x16=128, bf16
+    # flagship EfficientSATRN decode: hidden=256, src 8x16=128, bf16.
+    # Full-64-row batches take the measured-fastest tb=64/ck=32/src_hbm
+    # (370 vs 417 us/step kernels-only at B=256 on v5e)
     assert pick_v2_config(
         batch=256, hidden=256, s_len=128, filter_dim=1024,
+        itemsize=2, max_len=256,
+    ) == (64, 32, True)
+    # batches that can't fill 64-row tiles keep the tb=32/ck=64 default
+    assert pick_v2_config(
+        batch=32, hidden=256, s_len=128, filter_dim=1024,
         itemsize=2, max_len=256,
     ) == (32, 64, False)
     # SwinTRN decoder (hidden=512) overflowed scoped VMEM at tb=32/ck=64
