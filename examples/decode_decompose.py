@@ -41,6 +41,10 @@ def main(argv=None):
     p.add_argument("--filter", type=int, default=1024)
     p.add_argument("--src-len", type=int, default=128)
     p.add_argument("--quick", action="store_true")
+    p.add_argument("--fixed-probes", action="store_true",
+                   help="attribute the layer-independent fixed per-step "
+                   "cost instead of the knob sweep: empty scan, DUS-only, "
+                   "1/3/6-layer linearity")
     args = p.parse_args(argv)
 
     import jax
@@ -137,6 +141,59 @@ def main(argv=None):
             "compile_s": round(compile_s, 1),
         }), flush=True)
         return per_step
+
+    if args.fixed_probes:
+        # Attribute the ~208us/step layer-independent cost seen in the
+        # knob sweep (fixed = (3*oneL - threeL)/2). Each probe strips
+        # one suspect: kernels, the cache DUS, or the scan itself.
+        H2 = 2 * H
+        x0 = w(args.batch, H)
+        slot = w(args.batch, 1, H2)
+        max_len = ((args.steps + 63) // 64) * 64
+        caches0 = tuple(
+            jnp.zeros((args.batch, max_len, H2), dtype) for _ in range(3)
+        )
+
+        def empty_body(carry, t):
+            x, caches = carry
+            return (x + jnp.asarray(1e-6, x.dtype), caches), ()
+
+        @jax.jit
+        def empty_run():
+            (xf, _), _ = jax.lax.scan(
+                empty_body, (x0, caches0), jnp.arange(args.steps)
+            )
+            return xf
+
+        def dus_body(carry, t):
+            x, caches = carry
+            new = tuple(
+                jax.lax.dynamic_update_slice(c, slot, (0, t, 0))
+                for c in caches
+            )
+            return (x, new), ()
+
+        @jax.jit
+        def dus_run():
+            (xf, caches), _ = jax.lax.scan(
+                dus_body, (x0, caches0), jnp.arange(args.steps)
+            )
+            return caches[0][:1, :1, :1]
+
+        timeit("empty scan (no kernels, no DUS)", empty_run)
+        timeit("DUS-only x3 (no kernels)", dus_run)
+        one = timeit("1L full", build(1, args.src_len))
+        three = timeit("3L full", build(3, args.src_len))
+        six = timeit("6L full", build(6, args.src_len))
+        b = (six - one) / 5
+        print(json.dumps({
+            "metric": "fixed-cost probes (B=%d)" % args.batch,
+            "per_layer_us_1to6_fit": round(b * 1e6, 1),
+            "fixed_us_1to6_fit": round((one - b) * 1e6, 1),
+            "linearity_3L_pred_us": round((one + 2 * b) * 1e6, 1),
+            "linearity_3L_meas_us": round(three * 1e6, 1),
+        }))
+        return
 
     base = timeit("3L full (pos=t, S=%d)" % args.src_len,
                   build(3, args.src_len))
