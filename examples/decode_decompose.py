@@ -85,8 +85,9 @@ def main(argv=None):
         )
 
     def build(layers, src_len, *, chunk=64, tb=32, fixed_pos=None,
-              tiled=False, max_len=None, src_hbm=False):
-        max_len = max_len or ((args.steps + chunk - 1) // chunk) * chunk
+              tiled=False, max_len=None, src_hbm=False, steps=None):
+        steps = steps or args.steps
+        max_len = max_len or ((steps + chunk - 1) // chunk) * chunk
         weights = [layer_weights() for _ in range(layers)]
         x0 = w(args.batch, H)
         src_kv = w(args.batch, src_len, 2 * H)
@@ -120,13 +121,14 @@ def main(argv=None):
         @jax.jit
         def run():
             (xf, _), _ = jax.lax.scan(
-                body, (x0, caches0), jnp.arange(args.steps)
+                body, (x0, caches0), jnp.arange(steps)
             )
             return xf
 
         return run
 
-    def timeit(label, fn):
+    def timeit(label, fn, steps=None):
+        steps = steps or args.steps
         t0 = time.perf_counter()
         np.asarray(fn())
         compile_s = time.perf_counter() - t0
@@ -134,7 +136,7 @@ def main(argv=None):
         outs = [fn() for _ in range(args.iters)]
         for o in outs:
             np.asarray(o)
-        per_step = (time.perf_counter() - t0) / args.iters / args.steps
+        per_step = (time.perf_counter() - t0) / args.iters / steps
         print(json.dumps({
             "variant": label,
             "us_per_step": round(per_step * 1e6, 1),
@@ -146,52 +148,84 @@ def main(argv=None):
         # Attribute the ~208us/step layer-independent cost seen in the
         # knob sweep (fixed = (3*oneL - threeL)/2). Each probe strips
         # one suspect: kernels, the cache DUS, or the scan itself.
+        # Confound control: a whole-program measurement folds the rig's
+        # per-dispatch/fetch cost (tens of ms through the axon tunnel)
+        # into tiny programs, so every probe is timed at S and 3S steps
+        # and reported as the MARGINAL slope (t3 - t1)/(2S) — dispatch
+        # constants cancel.
         H2 = 2 * H
         x0 = w(args.batch, H)
         slot = w(args.batch, 1, H2)
-        max_len = ((args.steps + 63) // 64) * 64
-        caches0 = tuple(
-            jnp.zeros((args.batch, max_len, H2), dtype) for _ in range(3)
-        )
 
-        def empty_body(carry, t):
-            x, caches = carry
-            return (x + jnp.asarray(1e-6, x.dtype), caches), ()
+        def empty_run(steps):
+            def body(carry, t):
+                x = carry
+                return x + jnp.asarray(1e-6, x.dtype), ()
 
-        @jax.jit
-        def empty_run():
-            (xf, _), _ = jax.lax.scan(
-                empty_body, (x0, caches0), jnp.arange(args.steps)
+            @jax.jit
+            def run():
+                xf, _ = jax.lax.scan(body, x0, jnp.arange(steps))
+                return xf
+
+            return run
+
+        def dus_run(steps):
+            max_len = ((steps + 63) // 64) * 64
+            caches0 = tuple(
+                jnp.zeros((args.batch, max_len, H2), dtype)
+                for _ in range(3)
             )
-            return xf
 
-        def dus_body(carry, t):
-            x, caches = carry
-            new = tuple(
-                jax.lax.dynamic_update_slice(c, slot, (0, t, 0))
-                for c in caches
-            )
-            return (x, new), ()
+            def body(carry, t):
+                caches = carry
+                return tuple(
+                    jax.lax.dynamic_update_slice(c, slot, (0, t, 0))
+                    for c in caches
+                ), ()
 
-        @jax.jit
-        def dus_run():
-            (xf, caches), _ = jax.lax.scan(
-                dus_body, (x0, caches0), jnp.arange(args.steps)
-            )
-            return caches[0][:1, :1, :1]
+            @jax.jit
+            def run():
+                caches, _ = jax.lax.scan(body, caches0, jnp.arange(steps))
+                return caches[0][:1, :1, :1]
 
-        timeit("empty scan (no kernels, no DUS)", empty_run)
-        timeit("DUS-only x3 (no kernels)", dus_run)
-        one = timeit("1L full", build(1, args.src_len))
-        three = timeit("3L full", build(3, args.src_len))
-        six = timeit("6L full", build(6, args.src_len))
+            return run
+
+        def layers_run(n):
+            # pos pinned to 8: per-step work is then step-stationary
+            # (the growing prefix walk would otherwise make the slope
+            # overestimate the 230-step program's average)
+            def make(steps):
+                return build(
+                    n, args.src_len, fixed_pos=8, max_len=256,
+                    steps=steps,
+                )
+            return make
+
+        def marginal(label, make):
+            s1, s3 = args.steps, 3 * args.steps
+            t1 = timeit(f"{label} ({s1} steps)", make(s1), steps=s1)
+            t3 = timeit(f"{label} ({s3} steps)", make(s3), steps=s3)
+            us = (t3 * s3 - t1 * s1) / (s3 - s1) * 1e6
+            print(json.dumps(
+                {"probe": label, "marginal_us_per_step": round(us, 1)}
+            ), flush=True)
+            return us
+
+        empty = marginal("scan-only (1 elementwise op)", empty_run)
+        dus = marginal("DUS-only x3 (no kernels)", dus_run)
+        one = marginal("1L full", layers_run(1))
+        three = marginal("3L full", layers_run(3))
+        six = marginal("6L full", layers_run(6))
         b = (six - one) / 5
         print(json.dumps({
-            "metric": "fixed-cost probes (B=%d)" % args.batch,
-            "per_layer_us_1to6_fit": round(b * 1e6, 1),
-            "fixed_us_1to6_fit": round((one - b) * 1e6, 1),
-            "linearity_3L_pred_us": round((one + 2 * b) * 1e6, 1),
-            "linearity_3L_meas_us": round(three * 1e6, 1),
+            "metric": "fixed-cost probes, marginal us/step (B=%d)"
+                      % args.batch,
+            "scan_floor": round(empty, 1),
+            "dus_x3": round(dus, 1),
+            "per_layer_1to6_fit": round(b, 1),
+            "fixed_1to6_fit": round(one - b, 1),
+            "linearity_3L_pred": round(one + 2 * b, 1),
+            "linearity_3L_meas": round(three, 1),
         }))
         return
 
