@@ -85,7 +85,8 @@ def main(argv=None):
         )
 
     def build(layers, src_len, *, chunk=64, tb=32, fixed_pos=None,
-              tiled=False, max_len=None, src_hbm=False, steps=None):
+              tiled=False, max_len=None, src_hbm=False, steps=None,
+              chain=True):
         steps = steps or args.steps
         max_len = max_len or ((steps + chunk - 1) // chunk) * chunk
         weights = [layer_weights() for _ in range(layers)]
@@ -113,10 +114,18 @@ def main(argv=None):
             pos = jnp.asarray(fixed_pos, jnp.int32) if fixed_pos is not None else t
             new_caches = []
             out = x0  # constant re-injection: isolates the kernels
+            acc = None
             for wts, cache in zip(weights, caches):
-                out, cache = step(out, pos, cache, src_kv, wts)
+                o, cache = step(out if chain else x0, pos, cache,
+                                src_kv, wts)
+                if chain:
+                    out = o
+                else:
+                    # keep every launch's output live without creating a
+                    # layer->layer dependency: measures launch cost alone
+                    acc = o if acc is None else acc + o
                 new_caches.append(cache)
-            return (out, tuple(new_caches)), ()
+            return (out if chain else acc, tuple(new_caches)), ()
 
         @jax.jit
         def run():
@@ -190,14 +199,14 @@ def main(argv=None):
 
             return run
 
-        def layers_run(n):
+        def layers_run(n, chain=True):
             # pos pinned to 8: per-step work is then step-stationary
             # (the growing prefix walk would otherwise make the slope
             # overestimate the 230-step program's average)
             def make(steps):
                 return build(
                     n, args.src_len, fixed_pos=8, max_len=256,
-                    steps=steps,
+                    steps=steps, chain=chain,
                 )
             return make
 
@@ -216,6 +225,8 @@ def main(argv=None):
         one = marginal("1L full", layers_run(1))
         three = marginal("3L full", layers_run(3))
         six = marginal("6L full", layers_run(6))
+        indep = marginal("3L independent (no x chain)",
+                         layers_run(3, chain=False))
         b = (six - one) / 5
         print(json.dumps({
             "metric": "fixed-cost probes, marginal us/step (B=%d)"
@@ -226,6 +237,7 @@ def main(argv=None):
             "fixed_1to6_fit": round(one - b, 1),
             "linearity_3L_pred": round(one + 2 * b, 1),
             "linearity_3L_meas": round(three, 1),
+            "indep_3L_meas": round(indep, 1),
         }))
         return
 
