@@ -45,6 +45,10 @@ def main(argv=None):
                    help="attribute the layer-independent fixed per-step "
                    "cost instead of the knob sweep: empty scan, DUS-only, "
                    "1/3/6-layer linearity")
+    p.add_argument("--v3", action="store_true",
+                   help="A/B the single-launch stacked-layer v3 kernel "
+                   "(grid over tiles x layers) against the 3-launch v2 "
+                   "baseline at several tile configs")
     args = p.parse_args(argv)
 
     import jax
@@ -152,6 +156,61 @@ def main(argv=None):
             "compile_s": round(compile_s, 1),
         }), flush=True)
         return per_step
+
+    if args.v3:
+        from p4fr_tpu.ops.pallas.decoder_stack_v3 import (
+            decoder_stack_step_v3,
+        )
+
+        def build_v3(tb, ck, steps=None):
+            steps = steps or args.steps
+            max_len = ((steps + 63) // 64) * 64
+            layers_w = [layer_weights() for _ in range(3)]
+            stacked = []
+            for idx in range(15):
+                a = jnp.stack([lw[idx] for lw in layers_w])
+                if a.ndim == 2:  # biases -> [NL, 1, D]
+                    a = a[:, None, :]
+                stacked.append(a)
+            stacked = tuple(stacked)
+            x0 = w(args.batch, H)
+            src_kv = jnp.stack(
+                [w(args.batch, args.src_len, 2 * H) for _ in range(3)]
+            )
+            caches0 = jnp.zeros(
+                (3, args.batch, max_len, 2 * H), dtype
+            )
+
+            def body(carry, t):
+                caches = carry
+                out, caches = decoder_stack_step_v3(
+                    x0, t, caches, src_kv, stacked,
+                    head_num=args.heads, cache_outputs=True,
+                    batch_tile=tb, chunk=ck, interpret=not on_tpu,
+                )
+                return caches, out[0, 0]
+
+            @jax.jit
+            def run():
+                _, outs = jax.lax.scan(
+                    body, caches0, jnp.arange(steps)
+                )
+                return outs
+
+            return run
+
+        base = timeit("3L v2 chained (tb=32 ck=64)",
+                      build(3, args.src_len))
+        for tb, ck in ((32, 64), (32, 32), (64, 16), (16, 64)):
+            try:
+                timeit(f"3L v3 single-launch (tb={tb} ck={ck})",
+                       build_v3(tb, ck))
+            except Exception as e:  # VMEM overflow etc: record and go on
+                print(json.dumps({
+                    "variant": f"3L v3 single-launch (tb={tb} ck={ck})",
+                    "error": str(e)[:200],
+                }), flush=True)
+        return
 
     if args.fixed_probes:
         # Attribute the ~208us/step layer-independent cost seen in the

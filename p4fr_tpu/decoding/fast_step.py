@@ -327,6 +327,54 @@ def pallas_decode_step_v2(
     return logits, tuple(new_cache)
 
 
+def make_v3_step(
+    fast: FastDecoder,
+    *,
+    batch_tile: int = 32,
+    chunk: int = 64,
+    interpret: bool = False,
+):
+    """Build the single-launch stacked-layer step (decoder_stack_v3).
+
+    Returns ``(step, stack_cross_kv, init_cache)``:
+    - ``step(token, pos, cross_kv_stacked, cache_stacked)`` ->
+      ``(logits, new_cache_stacked)``;
+    - ``stack_cross_kv(tuple)`` -> [NL, B, S, 2H];
+    - ``init_cache(batch, max_len)`` -> zeros [NL, B, L, 2H].
+
+    The stacked weights are built HERE (once per trace, outside the
+    decode scan) so the scan body carries no per-step restacking.
+    """
+    from p4fr_tpu.ops.pallas.decoder_stack_v3 import (
+        decoder_stack_step_v3,
+        stack_fast_layers,
+    )
+
+    stacked_w = stack_fast_layers(fast.layers)
+    hidden = fast.w_gen.shape[0]
+
+    def stack_cross_kv(cross_kv):
+        return jnp.stack(cross_kv)
+
+    def init_cache(batch, max_len):
+        return jnp.zeros(
+            (len(fast.layers), batch, max_len, 2 * hidden),
+            fast.w_gen.dtype,
+        )
+
+    def step(token, pos, cross_kv_stacked, cache_stacked):
+        x = fast.embed_scaled[token] + fast.pos_encoding[pos][None, :]
+        out, new_cache = decoder_stack_step_v3(
+            x, pos, cache_stacked, cross_kv_stacked, stacked_w,
+            head_num=fast.head_num, cache_outputs=fast.cache_outputs,
+            batch_tile=batch_tile, chunk=chunk, interpret=interpret,
+        )
+        logits = (out @ fast.w_gen + fast.b_gen).astype(jnp.float32)
+        return logits, new_cache
+
+    return step, stack_cross_kv, init_cache
+
+
 def pallas_decode_step(
     fast: FastDecoder,
     token: jnp.ndarray,

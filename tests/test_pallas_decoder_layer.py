@@ -125,6 +125,44 @@ def test_pallas_v2_src_hbm_matches_fast_step():
         x = o1
 
 
+def test_pallas_v3_stacked_step_matches_fast_step():
+    """v3: ONE launch per step, grid (tiles, layers), x carried in VMEM
+    scratch, single stacked-cache DUS — numerics must equal the jnp
+    fast step."""
+    from p4fr_tpu.decoding.fast_step import make_v3_step
+
+    for parity in (True, False):
+        model = tiny_satrn(parity=parity)
+        images = jnp.asarray(synth_images(B))
+        text = jnp.asarray(synth_labels(B, 8))
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0),
+             "dropout": jax.random.PRNGKey(1)},
+            images, text, train=False,
+        )
+        src = model.apply(variables, images, method="encode")
+        fast = build_fast_decoder(model, variables)
+        cross = precompute_cross_kv(fast, src)
+        c1 = init_fast_cache(fast, B, 8)
+        step3, stack_ckv, init_c3 = make_v3_step(
+            fast, batch_tile=2, chunk=4, interpret=True
+        )
+        ckv3 = stack_ckv(cross)
+        c3 = init_c3(B, 8)
+        token = jnp.zeros((B,), jnp.int32)
+        for t in range(6):
+            l1, c1 = fast_decode_step(fast, token, jnp.asarray(t), cross, c1)
+            l3, c3 = step3(token, jnp.asarray(t), ckv3, c3)
+            np.testing.assert_allclose(
+                np.asarray(l1), np.asarray(l3), rtol=1e-5, atol=1e-5
+            )
+            for i, a in enumerate(c1):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(c3[i]), rtol=1e-5, atol=1e-5
+                )
+            token = jnp.argmax(l1, -1).astype(jnp.int32)
+
+
 def test_pick_v2_config():
     """VMEM auto-config: flagship dims keep the measured-fastest default;
     wide (SwinTRN) dims degrade to a fitting (tile, chunk, src_hbm)."""
