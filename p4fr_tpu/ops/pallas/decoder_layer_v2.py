@@ -353,25 +353,30 @@ def pick_v2_config(
     else:
         tbs = [t for t in (batch_tile, 32, 16) if t <= max(batch, 16)]
     cks = [c for c in (chunk, 64, 32) if max_len == 0 or max_len % c == 0]
-    candidates = []
-    if not fixed_tile and batch % 64 == 0 and 32 in cks:
-        # measured fastest on v5e at flagship dims (B=256 kernels-only
-        # scan: 370 vs 417 us/step for tb=32/ck=64): the src_hbm single
-        # buffer frees the VMEM that tb=64 needs. Only worth it when the
-        # batch fills 64-row tiles; src_hbm alone (same tile) measured
-        # slightly SLOWER (+13us) — it pays only as a tile enabler.
-        candidates.append((64, 32, True))
-    for src_hbm in (False, True):
-        for tb in dict.fromkeys(tbs):
-            for ck in dict.fromkeys(cks):
-                candidates.append((tb, ck, src_hbm))
-    for tb, ck, src_hbm in candidates:
-        est = scoped_vmem_estimate(
+    def est(tb, ck, src_hbm):
+        return scoped_vmem_estimate(
             batch_tile=tb, chunk=ck, hidden=hidden, s_len=s_len,
             filter_dim=filter_dim, itemsize=itemsize, src_hbm=src_hbm,
         )
-        if est <= _VMEM_BUDGET:
-            return tb, ck, src_hbm
+
+    if not fixed_tile and batch % 64 == 0 and 32 in cks:
+        # measured fastest PRODUCTION config on v5e at flagship dims:
+        # tb=64/ck=32/src_hbm e2e-benches 1746 img/s vs 1591 for
+        # tb=32/ck=64 (+9.7%). The auto-pipelined-src variant
+        # (src_hbm=False) is 19us/step faster in a kernels-only scan
+        # (351 vs 370) but the FULL greedy program's while-loop context
+        # pushes its scoped-VMEM demand to a compiler-reported 20.12M >
+        # 16M — only the single-buffered src fits (15.9M est). Gate is
+        # calibrated to that measurement rather than the conservative
+        # default budget. Only for batches that fill 64-row tiles.
+        cand = (64, 32, True)
+        if est(*cand) <= 16 * 1024 * 1024:
+            return cand
+    for src_hbm in (False, True):
+        for tb in dict.fromkeys(tbs):
+            for ck in dict.fromkeys(cks):
+                if est(tb, ck, src_hbm) <= _VMEM_BUDGET:
+                    return tb, ck, src_hbm
     return None
 
 

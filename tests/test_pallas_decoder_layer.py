@@ -173,8 +173,10 @@ def test_pick_v2_config():
     )
 
     # flagship EfficientSATRN decode: hidden=256, src 8x16=128, bf16.
-    # Full-64-row batches take the measured-fastest tb=64/ck=32/src_hbm
-    # (370 vs 417 us/step kernels-only at B=256 on v5e)
+    # Full-64-row batches take tb=64/ck=32/src_hbm — the fastest config
+    # that FITS the full greedy program (the auto-pipelined-src variant
+    # is 19us faster kernels-only but the compiler reports 20.12M > 16M
+    # scoped VMEM inside the e2e while loop)
     assert pick_v2_config(
         batch=256, hidden=256, s_len=128, filter_dim=1024,
         itemsize=2, max_len=256,
