@@ -252,6 +252,10 @@ def swin_rules() -> List[Rule]:
         (rf"{blk}\.attn\.relative_position_bias_table$",
          rf"{fb}/attn/relative_position_bias_table", _identity, "params"),
         (rf"{blk}\.attn\.relative_position_index$", "", _identity, "drop"),
+        # the reference's SWIN.py registers the shifted-window mask as a
+        # PERSISTENT buffer (networks/SWIN.py:313 register_buffer), so
+        # real checkpoints carry it; we recompute it from shape
+        (rf"{blk}\.attn_mask$", "", _identity, "drop"),
     ]
     rules += _ln_rules(rf"{blk}\.norm2", rf"{fb}/norm2")
     rules += _linear_rules(rf"{blk}\.mlp\.fc1", rf"{fb}/mlp_fc1")
