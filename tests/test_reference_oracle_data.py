@@ -78,6 +78,55 @@ def test_dataset_images_and_encoding_match_real_reference(
         np.testing.assert_array_equal(np.asarray(r["image"]), o["image"])
 
 
+def test_collate_padding_matches_real_reference(ref_dataset_mod, tmp_path):
+    """Real collate_batch (/root/reference/data/loader.py:10-25) pads the
+    encoded labels with -1 to the BATCH max; ours pads to a fixed
+    max_label_len (static XLA shapes). With max_label_len >= batch max
+    the overlap must be identical and the tail all -1."""
+    import importlib.util as ilu
+
+    import torch
+
+    from p4fr_tpu.data.loader import collate
+
+    # loader.py does `from .dataset import ...`; load it AS data.loader
+    # with the real dataset module aliased in, so the relative import
+    # resolves (the `data` package stub exists from load_reference)
+    sys.modules["data.dataset"] = ref_dataset_mod
+    spec = ilu.spec_from_file_location(
+        "data.loader", "/root/reference/data/loader.py"
+    )
+    ref_loader = ilu.module_from_spec(spec)
+    sys.modules["data.loader"] = ref_loader
+    spec.loader.exec_module(ref_loader)
+
+    # same-size images: real collate torch.stacks them (the reference's
+    # albumentations Resize normally equalizes shapes)
+    rng = np.random.default_rng(1)
+    paths = []
+    for name in ("c0.png", "c1.png"):
+        p = tmp_path / name
+        Image.fromarray(
+            rng.integers(0, 255, (40, 80, 3), dtype=np.uint8)
+        ).save(p)
+        paths.append(str(p))
+    gt = [(paths[0], "1 + 2"), (paths[1], "\\frac { a } { b } + 1")]
+    real_ds = ref_dataset_mod.LoadDataset(
+        gt, [TOKENS], crop=False,
+        transform=lambda image: {"image": torch.from_numpy(image)},
+    )
+    items = [real_ds[i] for i in range(2)]
+    want = ref_loader.collate_batch(items)
+    enc_want = want["truth"]["encoded"].numpy()
+
+    got = collate(items, max_label_len=12)
+    enc_got = got["truth"]["encoded"]
+    np.testing.assert_array_equal(enc_got[:, : enc_want.shape[1]], enc_want)
+    assert (enc_got[:, enc_want.shape[1]:] == -1).all()
+    assert got["path"] == want["path"]
+    assert got["truth"]["text"] == want["truth"]["text"]
+
+
 def test_eval_dataset_matches_real_reference(ref_dataset_mod, tmp_path):
     from p4fr_tpu.data.dataset import LoadEvalDataset
     from p4fr_tpu.data.vocab import Vocab
