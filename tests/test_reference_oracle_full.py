@@ -217,3 +217,38 @@ def test_real_id_to_string(ref, vocab):
             eos_id=vocab.eos_id, pad_id=vocab.pad_id, do_eval=bool(do_eval),
         )
         assert got == want, do_eval
+
+
+def test_training_loss_matches_real_criterion(vocab):
+    """The reference trains with nn.CrossEntropyLoss(ignore_index=PAD)
+    on [B, V, L] logits after replacing the collate's -1 padding with
+    PAD (networks/LiteSATRN.py:574-576, train_modules/
+    train_single_opt.py:78-86). Our cross_entropy_ignore_pad must equal
+    it bit-for-bit on the same logits/targets."""
+    import jax.numpy as jnp
+    from torch import nn as tnn
+
+    from p4fr_tpu.train.steps import cross_entropy_ignore_pad
+
+    pad = vocab.pad_id
+    rng = np.random.default_rng(9)
+    B, L, V = 4, 11, len(vocab)
+    logits = rng.standard_normal((B, L, V)).astype(np.float32)
+    encoded = rng.integers(0, V, size=(B, L + 1)).astype(np.int64)
+    # collate pads with -1; the trainer replaces -1 -> PAD before loss
+    encoded[0, 7:] = -1
+    encoded[3, 3:] = -1
+    encoded[encoded == -1] = pad
+    targets = encoded[:, 1:]  # "[SOS] 이후부터"
+
+    criterion = tnn.CrossEntropyLoss(ignore_index=pad)
+    want = criterion(
+        torch.from_numpy(logits).transpose(1, 2),  # [B, V, L]
+        torch.from_numpy(targets),
+    ).item()
+    got = float(
+        cross_entropy_ignore_pad(
+            jnp.asarray(logits), jnp.asarray(targets), pad
+        )
+    )
+    assert abs(want - got) < 1e-6
