@@ -628,6 +628,152 @@ def bootstrap_pretrained(variables, network: str, pretrained_cfg) -> Dict:
     return graft_backbone(dict(variables), params, stats, path)
 
 
+# ---------------------------------------------------------------------------
+# inverse direction: flax trees -> reference-named torch state_dict
+#
+# Derived mechanically from the SAME rule tables, so the two directions
+# cannot drift: each forward rule (torch_regex -> flax_template,
+# transform) inverts to (flax_regex -> torch_template, inverse
+# transform). "drop" rules have no inverse — the dropped keys are
+# derived buffers the reference modules recompute in __init__
+# (relative_position_index, attn_mask, num_batches_tracked).
+# ---------------------------------------------------------------------------
+
+_INV_TRANSFORM = {}
+
+
+def _inv_conv(w: np.ndarray) -> np.ndarray:
+    # flax [kh, kw, I, O] -> torch [O, I, kh, kw]
+    return np.ascontiguousarray(np.transpose(w, (3, 2, 0, 1)))
+
+
+_INV_TRANSFORM[_identity] = _identity
+_INV_TRANSFORM[_t_linear] = _t_linear  # transpose is its own inverse
+_INV_TRANSFORM[_t_conv] = _inv_conv
+_INV_TRANSFORM[_t_depthwise] = _inv_conv
+
+
+def _invert_rule(pattern: str, template: str):
+    """(torch_regex, flax_template) -> (flax_regex, backref_order).
+
+    flax templates contain only literals and ``\\N`` backrefs into the
+    torch pattern's ``(\\d+)`` groups; everything else in the rule
+    tables is literal."""
+    parts = re.split(r"(\\\d)", template)
+    flax_pat = "^"
+    order = []
+    for p in parts:
+        if re.fullmatch(r"\\\d", p):
+            order.append(int(p[1]))
+            flax_pat += r"(\d+)"
+        else:
+            flax_pat += re.escape(p)
+    return re.compile(flax_pat + "$"), order
+
+
+def _torch_key(pattern: str, groups: Dict[int, str]) -> str:
+    """Fill the torch regex's ``(\\d+)`` groups with captured values and
+    unescape the remaining literals."""
+    counter = [0]
+
+    def sub(_m):
+        counter[0] += 1
+        return groups[counter[0]]
+
+    s = re.sub(r"\(\\d\+\)", sub, pattern.rstrip("$"))
+    return re.sub(r"\\(.)", r"\1", s)
+
+
+def export_state_dict(
+    network: str, params: Dict, batch_stats: Optional[Dict] = None
+) -> Tuple[Dict[str, np.ndarray], List[str]]:
+    """flax (params, batch_stats) -> reference-named numpy state_dict.
+
+    Returns ``(state_dict, unmatched_flax_paths)``. Loading the result
+    into the real reference module requires no strictness relaxations:
+    the only torch-side keys we never emit are the derived buffers its
+    constructors rebuild (see note above), which torch's
+    ``load_state_dict`` tolerates. Wrap values in ``torch.tensor`` (or
+    use :func:`export_pth`) for a loadable ``.pth``."""
+    inverted = []
+    for pat, repl, transform, coll in rules_for(network):
+        if coll == "drop" or not repl:
+            continue
+        flax_re, order = _invert_rule(pat, repl)
+        inverted.append((flax_re, order, pat, _INV_TRANSFORM[transform]))
+
+    def flatten(tree, prefix=""):
+        out = {}
+        for k, v in (tree or {}).items():
+            path = f"{prefix}/{k}" if prefix else k
+            if isinstance(v, dict):
+                out.update(flatten(v, path))
+            else:
+                out[path] = np.asarray(v)
+        return out
+
+    flat = flatten(params)
+    flat.update(flatten(batch_stats))
+    sd: Dict[str, np.ndarray] = {}
+    unmatched: List[str] = []
+    for path, arr in flat.items():
+        for flax_re, order, pat, inv in inverted:
+            m = flax_re.match(path)
+            if m:
+                groups = {n: g for n, g in zip(order, m.groups())}
+                sd[_torch_key(pat, groups)] = inv(arr)
+                break
+        else:
+            unmatched.append(path)
+
+    if network in ("EfficientASTER", "ASTER"):
+        # single-layer decoders keep a bare LSTMCell at .rnn (the
+        # ModuleList naming only exists for num_layers > 1)
+        if not any(
+            k.startswith("decoder.attention_cell.rnn.1.") for k in sd
+        ):
+            sd = {
+                k.replace(
+                    "decoder.attention_cell.rnn.0.",
+                    "decoder.attention_cell.rnn.",
+                ): v
+                for k, v in sd.items()
+            }
+    return sd, unmatched
+
+
+def export_pth(ckpt_path: str, out_path: str) -> str:
+    """Native msgpack checkpoint -> reference-format ``.pth``
+    (self-describing: model + configs + vocab + epoch), loadable by the
+    reference's ``utils/checkpoint.py:load_checkpoint``."""
+    import torch
+
+    from p4fr_tpu.utils import checkpoint as ckpt_io
+
+    ckpt = ckpt_io.load_checkpoint(ckpt_path)
+    network = ckpt.get("network") or ckpt.get("configs", {}).get("network")
+    sd, unmatched = export_state_dict(
+        network, ckpt["params"], ckpt.get("batch_stats") or {}
+    )
+    if unmatched:
+        raise ValueError(
+            f"[export_pth] {len(unmatched)} flax paths have no inverse "
+            f"rule: {unmatched[:8]}"
+        )
+    payload = {
+        "network": network,
+        "epoch": int(ckpt.get("epoch", 0)),
+        "model": {k: torch.tensor(v) for k, v in sd.items()},
+        "configs": dict(ckpt.get("configs", {})),
+        "token_to_id": dict(ckpt.get("token_to_id", {})),
+        "id_to_token": {
+            int(k): v for k, v in ckpt.get("id_to_token", {}).items()
+        },
+    }
+    torch.save(payload, out_path)
+    return out_path
+
+
 def convert_pth(pth_path: str, out_path: str, *, strict: bool = True) -> str:
     """Full checkpoint conversion incl. configs/vocab/epoch."""
     import torch
@@ -671,14 +817,22 @@ def convert_pth(pth_path: str, out_path: str, *, strict: bool = True) -> str:
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--report"]
-    report = len(argv) != len(sys.argv) - 1
+    argv = [a for a in sys.argv[1:] if a not in ("--report", "--export")]
+    report = "--report" in sys.argv[1:]
+    export = "--export" in sys.argv[1:]
     if len(argv) != 2:
         print(
             "usage: python -m p4fr_tpu.utils.convert_pth [--report] "
             "ref.pth out.ckpt\n"
+            "       python -m p4fr_tpu.utils.convert_pth --export "
+            "native.ckpt out.pth\n"
             "  --report: convert what matches and print a diagnostic for "
-            "unmatched keys instead of failing"
+            "unmatched keys instead of failing\n"
+            "  --export: inverse direction — native checkpoint to "
+            "reference-format .pth"
         )
         sys.exit(1)
-    print(convert_pth(argv[0], argv[1], strict=not report))
+    if export:
+        print(export_pth(argv[0], argv[1]))
+    else:
+        print(convert_pth(argv[0], argv[1], strict=not report))
