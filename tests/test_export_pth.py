@@ -143,3 +143,86 @@ def test_swin_roundtrip_and_real_load():
         k for k in res.missing_keys if not any(a in k for a in allowed)
     ]
     assert leftover == [], leftover
+
+
+def test_export_pth_file_loads_into_real_litesatrn(tmp_path):
+    """File-level capstone: native checkpoint -> export_pth -> the REAL
+    reference LiteSATRN constructed from the .pth (its __init__ calls
+    load_state_dict on checkpoint; LiteSATRN.py:578-579) -> identical
+    teacher-forced logits. Closes the interop loop in the direction the
+    forward oracle tests don't cover: OUR trained weights running in
+    the reference codebase."""
+    from reference_loader import cpu_get_device, make_dataset_stub, make_flags
+
+    from p4fr_tpu.data.vocab import Vocab
+    from p4fr_tpu.utils.checkpoint import make_checkpoint
+    from p4fr_tpu.utils.convert_pth import export_pth
+
+    ref = load_reference_full()
+    vocab = Vocab.from_files(["p4fr_tpu/configs/tokens.txt"])
+    B, H, W, L = 3, 32, 64, 12
+
+    model = tiny_satrn(num_classes=len(vocab), pad_id=vocab.pad_id,
+                       sos_id=vocab.sos_id)
+    rng = np.random.default_rng(21)
+    images = rng.normal(size=(B, H, W, 3)).astype(np.float32)
+    labels = np.full((B, L), vocab.pad_id, np.int64)
+    labels[:, 0] = vocab.sos_id
+    labels[:, 1:5] = rng.integers(3, len(vocab) - 1, size=(B, 4))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        jnp.asarray(images), jnp.asarray(labels), train=False,
+    )
+
+    # native checkpoint file -> reference .pth file
+    native = make_checkpoint(
+        network="LiteSATRN", epoch=4,
+        params=jax.tree_util.tree_map(np.asarray, variables["params"]),
+        batch_stats=jax.tree_util.tree_map(
+            np.asarray, variables["batch_stats"]
+        ),
+        opt_state=None, configs={"network": "LiteSATRN"},
+        token_to_id=dict(vocab.token_to_id),
+        id_to_token=dict(vocab.id_to_token),
+    )
+    from flax import serialization
+
+    ckpt_path = tmp_path / "native.ckpt"
+    payload = dict(native)
+    payload["id_to_token"] = {
+        str(k): v for k, v in payload["id_to_token"].items()
+    }
+    ckpt_path.write_bytes(
+        serialization.msgpack_serialize(payload, in_place=True)
+    )
+    pth_path = str(tmp_path / "exported.pth")
+    export_pth(str(ckpt_path), pth_path)
+
+    loaded = torch.load(pth_path, map_location="cpu", weights_only=False)
+    assert loaded["epoch"] == 4
+    assert loaded["token_to_id"] == dict(vocab.token_to_id)
+
+    flags = make_flags(
+        height=H, width=W, enc_hidden=32, enc_filter=32, enc_heads=4,
+        enc_layers=1, dec_src=32, dec_hidden=32, dec_filter=64,
+        dec_heads=4, dec_layers=2,
+    )
+    torch.manual_seed(0)
+    tmodel = ref.lite_satrn.LiteSATRN(
+        flags, make_dataset_stub(vocab), checkpoint=loaded["model"]
+    )
+    tmodel.eval()
+
+    want = model.apply(
+        variables, jnp.asarray(images), jnp.asarray(labels[:, :-1]),
+        train=False,
+    )
+    with cpu_get_device(), torch.no_grad():
+        got = tmodel(
+            torch.from_numpy(images.transpose(0, 3, 1, 2)),
+            torch.from_numpy(labels), True, 1.0,  # teacher-forced branch
+        ).numpy()
+    assert np.asarray(want).shape == got.shape == (B, L - 1, len(vocab))
+    np.testing.assert_allclose(
+        np.asarray(want), got, rtol=1e-3, atol=2e-4
+    )
