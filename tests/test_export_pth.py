@@ -226,3 +226,28 @@ def test_export_pth_file_loads_into_real_litesatrn(tmp_path):
     np.testing.assert_allclose(
         np.asarray(want), got, rtol=1e-3, atol=2e-4
     )
+
+
+def test_efficientsatrn_roundtrip_via_library_inverse():
+    """Covers the efficientnet-block inverse rules (conv_stem/dw/se/pwl
+    + bn stats) the other families don't touch."""
+    from p4fr_tpu.models.satrn import SATRN
+
+    model = SATRN(
+        num_classes=245, pad_id=2, sos_id=0,
+        input_height=64, input_width=128,
+        enc_hidden_dim=64, enc_filter_dim=64, enc_layer_num=1,
+        enc_head_num=4,
+        dec_src_dim=64, dec_hidden_dim=32, dec_filter_dim=64,
+        dec_layer_num=1, dec_head_num=4,
+        backbone="efficientnetv2s",
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 128, 3)),
+        jnp.zeros((1, 4), jnp.int32),
+        train=False,
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    _assert_roundtrip("EfficientSATRN", params, stats)
