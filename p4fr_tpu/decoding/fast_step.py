@@ -186,6 +186,68 @@ def _heads(x, h):
     return x.reshape(b, h, x.shape[-1] // h)
 
 
+def jnp_layer_step(
+    layer: FastLayer,
+    x: jnp.ndarray,  # [B, H]
+    pos: jnp.ndarray,  # scalar
+    kv_cache: jnp.ndarray,  # [B, L, 2H]
+    ckv: jnp.ndarray,  # [B, S, 2H]
+    *,
+    head_num: int,
+    cache_outputs: bool,
+):
+    """One decoder LAYER's AR step in plain jnp -> (out, new cache).
+
+    The single-layer numeric contract shared by fast_decode_step and
+    the Pallas kernels (same packed cache + slot-DUS semantics); also
+    the per-layer fallback when no Pallas tile config fits scoped VMEM.
+    """
+    h = head_num
+    batch, hidden = x.shape
+    temp = jnp.asarray(float(hidden) ** 0.5, x.dtype)
+    max_len = kv_cache.shape[1]
+    qkv = x @ layer.w_qkv + layer.b_qkv  # [B, 3H]
+    q, k_cur, v_cur = jnp.split(qkv, 3, axis=-1)
+    kv_all = jax.lax.dynamic_update_slice(
+        kv_cache,
+        jnp.concatenate([k_cur, v_cur], -1)[:, None, :],
+        (0, pos, 0),
+    )
+    k_all = kv_all[..., :hidden].reshape(batch, max_len, h, hidden // h)
+    v_all = kv_all[..., hidden:].reshape(batch, max_len, h, hidden // h)
+    scores = jnp.einsum("bhd,blhd->bhl", _heads(q, h), k_all) / temp
+    ban = (jnp.arange(max_len) > pos)[None, None, :]
+    scores = jnp.where(ban, jnp.asarray(NEG_INF, scores.dtype), scores)
+    probs = jax.nn.softmax(scores, axis=-1)
+    att = jnp.einsum("bhl,blhd->bhd", probs, v_all).reshape(batch, hidden)
+    att = att @ layer.w_out + layer.b_out
+    out = _ln(att + x, layer.ln1_scale, layer.ln1_bias)
+
+    # cross attention over packed per-layer src K/V
+    q2 = _heads(out @ layer.w_q2 + layer.b_q2, h)
+    ck = ckv[..., :hidden].reshape(batch, -1, h, hidden // h)
+    cv = ckv[..., hidden:].reshape(batch, -1, h, hidden // h)
+    s2 = jnp.einsum("bhd,blhd->bhl", q2, ck) / temp
+    p2 = jax.nn.softmax(s2, axis=-1)
+    att2 = jnp.einsum("bhl,blhd->bhd", p2, cv).reshape(batch, hidden)
+    att2 = att2 @ layer.w_out2 + layer.b_out2
+    out = _ln(att2 + out, layer.ln2_scale, layer.ln2_bias)
+
+    ffo = jnp.maximum(out @ layer.w_ff0 + layer.b_ff0, 0)
+    ffo = jnp.maximum(ffo @ layer.w_ff1 + layer.b_ff1, 0)
+    out = _ln(ffo + out, layer.ln3_scale, layer.ln3_bias)
+
+    if cache_outputs:
+        # reference parity: the layer OUTPUT becomes future K/V
+        w_kv = layer.w_qkv[:, hidden:]  # [H, 2H] (k|v)
+        b_kv = layer.b_qkv[hidden:]
+        kv_o = out @ w_kv + b_kv
+        kv_all = jax.lax.dynamic_update_slice(
+            kv_all, kv_o[:, None, :], (0, pos, 0)
+        )
+    return out, kv_all
+
+
 def fast_decode_step(
     fast: FastDecoder,
     token: jnp.ndarray,  # [B]
@@ -194,57 +256,14 @@ def fast_decode_step(
     cache: Tuple[jnp.ndarray, ...],
 ):
     """One AR step -> (logits [B, V] float32, new cache)."""
-    h = fast.head_num
     x = fast.embed_scaled[token] + fast.pos_encoding[pos][None, :]
-    batch = x.shape[0]
-    hidden = x.shape[-1]
-    temp = jnp.asarray(float(hidden) ** 0.5, x.dtype)
-
     new_cache = []
     for layer, kv_cache, ckv in zip(fast.layers, cache, cross_kv):
-        max_len = kv_cache.shape[1]
-        qkv = x @ layer.w_qkv + layer.b_qkv  # [B, 3H]
-        q, k_cur, v_cur = jnp.split(qkv, 3, axis=-1)
-        kv_all = jax.lax.dynamic_update_slice(
-            kv_cache,
-            jnp.concatenate([k_cur, v_cur], -1)[:, None, :],
-            (0, pos, 0),
+        x, kv_all = jnp_layer_step(
+            layer, x, pos, kv_cache, ckv,
+            head_num=fast.head_num, cache_outputs=fast.cache_outputs,
         )
-        k_all = kv_all[..., :hidden].reshape(batch, max_len, h, hidden // h)
-        v_all = kv_all[..., hidden:].reshape(batch, max_len, h, hidden // h)
-        scores = jnp.einsum("bhd,blhd->bhl", _heads(q, h), k_all) / temp
-        ban = (jnp.arange(max_len) > pos)[None, None, :]
-        scores = jnp.where(ban, jnp.asarray(NEG_INF, scores.dtype), scores)
-        probs = jax.nn.softmax(scores, axis=-1)
-        att = jnp.einsum("bhl,blhd->bhd", probs, v_all).reshape(batch, hidden)
-        att = att @ layer.w_out + layer.b_out
-        out = _ln(att + x, layer.ln1_scale, layer.ln1_bias)
-
-        # cross attention over packed per-layer src K/V
-        q2 = _heads(out @ layer.w_q2 + layer.b_q2, h)
-        ck = ckv[..., :hidden].reshape(batch, -1, h, hidden // h)
-        cv = ckv[..., hidden:].reshape(batch, -1, h, hidden // h)
-        s2 = jnp.einsum("bhd,blhd->bhl", q2, ck) / temp
-        p2 = jax.nn.softmax(s2, axis=-1)
-        att2 = jnp.einsum("bhl,blhd->bhd", p2, cv).reshape(batch, hidden)
-        att2 = att2 @ layer.w_out2 + layer.b_out2
-        out = _ln(att2 + out, layer.ln2_scale, layer.ln2_bias)
-
-        ffo = jnp.maximum(out @ layer.w_ff0 + layer.b_ff0, 0)
-        ffo = jnp.maximum(ffo @ layer.w_ff1 + layer.b_ff1, 0)
-        out = _ln(ffo + out, layer.ln3_scale, layer.ln3_bias)
-
-        if fast.cache_outputs:
-            # reference parity: the layer OUTPUT becomes future K/V
-            w_kv = layer.w_qkv[:, hidden:]  # [H, 2H] (k|v)
-            b_kv = layer.b_qkv[hidden:]
-            kv_o = out @ w_kv + b_kv
-            kv_all = jax.lax.dynamic_update_slice(
-                kv_all, kv_o[:, None, :], (0, pos, 0)
-            )
         new_cache.append(kv_all)
-        x = out
-
     logits = (x @ fast.w_gen + fast.b_gen).astype(jnp.float32)
     return logits, tuple(new_cache)
 
@@ -310,11 +329,21 @@ def pallas_decode_step_v2(
             chunk=chunk, max_len=kv_cache.shape[1], fixed_tile=tiled,
         )
         if cfg is None:
-            raise ValueError(
-                "no (batch_tile, chunk) config of the v2 kernel fits "
-                f"scoped VMEM for hidden={hidden} s_len={ckv.shape[1]}; "
-                "use the jnp fast path"
+            if tiled:
+                raise ValueError(
+                    "no v2 kernel config fits scoped VMEM for "
+                    f"hidden={hidden} s_len={ckv.shape[1]} at the tiled "
+                    "cache's baked tile; allocate an untiled cache"
+                )
+            # degrade THIS layer to the (numerically identical-class)
+            # jnp step rather than failing the whole decode
+            x, kv_cache = jnp_layer_step(
+                layer, x, pos, kv_cache, ckv,
+                head_num=fast.head_num,
+                cache_outputs=fast.cache_outputs,
             )
+            new_cache.append(kv_cache)
+            continue
         tb, ck, src_hbm = cfg
         x, kv_cache = decoder_layer_step_v2(
             x, pos, kv_cache, ckv, layer_weight_tuple(layer),

@@ -125,6 +125,46 @@ def test_pallas_v2_src_hbm_matches_fast_step():
         x = o1
 
 
+def test_v2_step_degrades_to_jnp_when_nothing_fits():
+    """A src too large for any scoped-VMEM config must NOT fail the
+    decode: pallas_decode_step_v2 falls back to the per-layer jnp step
+    (same numeric class) for untiled caches."""
+    from p4fr_tpu.ops.pallas.decoder_layer_v2 import pick_v2_config
+
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    src = model.apply(variables, images, method="encode")
+    fast = build_fast_decoder(model, variables)
+    cross = precompute_cross_kv(fast, src)
+    # inflate the src K/V length until no (tile, chunk) fits
+    reps = 1
+    hidden = int(fast.w_gen.shape[0])
+    while pick_v2_config(
+        batch=B, hidden=hidden, s_len=cross[0].shape[1] * reps,
+        filter_dim=int(fast.layers[0].w_ff0.shape[1]), itemsize=4,
+        max_len=8, batch_tile=2, chunk=4,
+    ) is not None:
+        reps *= 2
+        assert reps < 2 ** 16
+    big_cross = tuple(jnp.tile(c, (1, reps, 1)) for c in cross)
+    c1 = init_fast_cache(fast, B, 8)
+    c2 = init_fast_cache(fast, B, 8)
+    token = jnp.zeros((B,), jnp.int32)
+    l1, c1 = fast_decode_step(fast, token, jnp.asarray(1), big_cross, c1)
+    l2, c2 = pallas_decode_step_v2(
+        fast, token, jnp.asarray(1), big_cross, c2,
+        batch_tile=2, chunk=4, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_pallas_v3_stacked_step_matches_fast_step():
     """v3: ONE launch per step, grid (tiles, layers), x carried in VMEM
     scratch, single stacked-cache DUS — numerics must equal the jnp
