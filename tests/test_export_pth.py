@@ -251,3 +251,24 @@ def test_efficientsatrn_roundtrip_via_library_inverse():
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
     _assert_roundtrip("EfficientSATRN", params, stats)
+
+
+def test_aster_full_model_roundtrip_via_library_inverse():
+    """Full EfficientASTER tree: covers the encoder-side inverse rules
+    (BLSTM l{k}[_reverse] cells, proj, convRelu stages + bns) the
+    decoder-only test skips."""
+    V, PAD, SOS = 20, 2, 0
+    model = ASTER(
+        num_classes=V, pad_id=PAD, sos_id=SOS, src_dim=48, hidden_dim=48,
+        embedding_dim=24, layer_num=1, dtype=jnp.float32,
+    )
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 64, 128, 3)), jnp.zeros((1, 4), jnp.int32),
+        train=False,
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(
+        np.asarray, variables.get("batch_stats", {})
+    )
+    _assert_roundtrip("EfficientASTER", params, stats)
