@@ -228,6 +228,7 @@ def main(argv=None):
             print("# TPU unavailable (probe failed); falling back to "
                   "--quick CPU sanity run", file=sys.stderr)
             args.quick = True
+            args.tpu_fallback = True
 
     import jax
 
@@ -739,6 +740,15 @@ def _run_decode_bench(args, jax, jnp, fn, variables, images, u8_batches,
             "with_feed crosses this dev rig's network tunnel "
             f"({h2d_mbps:.0f} MB/s); a physical TPU host PCIe feed "
             "(>10 GB/s) costs ~3% of a decode batch"
+        )
+    if getattr(args, "tpu_fallback", False):
+        result["tpu_outage_note"] = (
+            "axon TPU tunnel was down at bench time (daemon gone; probe "
+            "retries exhausted) — this is the CPU sanity fallback, NOT "
+            "chip throughput. Last same-repo TPU captures with this "
+            "code: greedy B=256 1746 img/s (tb=64/ck=32/src_hbm), "
+            "early-stop sorted 3188; see docs/PERFORMANCE.md round-3 "
+            "tables for methodology"
         )
     print(json.dumps(result))
     print(
