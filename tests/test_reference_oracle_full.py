@@ -252,3 +252,49 @@ def test_training_loss_matches_real_criterion(vocab):
         )
     )
     assert abs(want - got) < 1e-6
+
+
+def test_flags_parity_with_real_reference(ref):
+    """Real utils/flags.py (namedtuple + eval coercion) vs our Flags on
+    every shipped YAML config: identical leaf values and nesting. Pins
+    the eval-vs-literal_eval coercion choice against the real code on
+    the actual config surface."""
+    import importlib
+
+    real_flags_mod = importlib.import_module("utils.flags")
+
+    def nt_leaves(nt, prefix=""):
+        out = {}
+        for k in nt._fields:
+            v = getattr(nt, k)
+            path = f"{prefix}.{k}" if prefix else k
+            if hasattr(v, "_fields"):
+                out.update(nt_leaves(v, path))
+            else:
+                out[path] = v
+        return out
+
+    def my_leaves(obj, prefix=""):
+        out = {}
+        for k in obj.keys():
+            v = getattr(obj, k)
+            path = f"{prefix}.{k}" if prefix else k
+            if hasattr(v, "keys") and not isinstance(v, (str, dict)):
+                out.update(my_leaves(v, path))
+            else:
+                out[path] = v
+        return out
+
+    from p4fr_tpu.utils.flags import Flags as MyFlags
+
+    for name in ("LiteSATRN", "EfficientSATRN", "EfficientASTER", "SWIN"):
+        cfg = f"p4fr_tpu/configs/{name}.yaml"
+        want = nt_leaves(real_flags_mod.Flags(cfg).get())
+        got = my_leaves(MyFlags(cfg).get())
+        # the real loader prefixes "prefix" with ./ — normalize
+        for leaves in (want, got):
+            if "prefix" in leaves:
+                leaves["prefix"] = leaves["prefix"].lstrip("./")
+        assert want == got, (name, set(want) ^ set(got),
+                            {k: (want.get(k), got.get(k))
+                             for k in want if want.get(k) != got.get(k)})
