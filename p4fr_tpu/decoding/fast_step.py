@@ -365,6 +365,12 @@ def make_v3_step(
 ):
     """Build the single-launch stacked-layer step (decoder_stack_v3).
 
+    EXPERIMENTAL — measured SLOWER than the per-layer v2 production
+    path (best 390 vs 370 us/step at B=256; docs/PERFORMANCE.md r3
+    "v3 single launch" table). Kept as the tested record of the
+    fewer-launches experiment; production decode should stay on
+    pallas_decode_step_v2.
+
     Returns ``(step, stack_cross_kv, init_cache)``:
     - ``step(token, pos, cross_kv_stacked, cache_stacked)`` ->
       ``(logits, new_cache_stacked)``;
