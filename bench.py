@@ -96,7 +96,127 @@ def _wrap_stops(jax, decode_fn, variables, stops_as_arg):
     return jax.jit(lambda v, im, stops: decode_fn(im, stops))
 
 
+def _probe_tpu(timeout_s):
+    """Probe TPU availability in a subprocess (a dead axon tunnel makes
+    jax device init hang INSIDE the calling process otherwise).
+
+    Returns "ok", "no_tpu" (jax healthy but CPU-only: retrying is
+    pointless), or "fail" (hang/timeout/crash: tunnel outage, may heal).
+    Set BENCH_FORCE_PROBE_FAIL=1 to stub a dead tunnel (outage-path CI).
+    """
+    import subprocess
+
+    if os.environ.get("BENCH_FORCE_PROBE_FAIL"):
+        return "fail"
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, numpy as np, jax.numpy as jnp;"
+             "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)));"
+             "import sys; sys.exit(0 if jax.default_backend() "
+             "== 'tpu' else 3)"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+    except Exception:
+        return "fail"
+    if probe.returncode == 0:
+        return "ok"
+    if probe.returncode == 3:
+        return "no_tpu"
+    return "fail"
+
+
+def _emit_cpu_fallback(raw_argv, reason):
+    """Run the --quick CPU sanity bench in a SUBPROCESS (keeps this
+    process jax-free so a later TPU retry can still init the real
+    backend), relabel its JSON with the outage note, and print it
+    IMMEDIATELY (flushed) so the driver records a number even if it
+    kills us mid-retry. Never raises; always prints one valid JSON line.
+    """
+    import subprocess
+
+    note = (
+        f"axon TPU tunnel unavailable at bench time ({reason}) — this is "
+        "the CPU sanity fallback, NOT chip throughput. Last same-repo TPU "
+        "captures with this code: greedy B=256 1746 img/s "
+        "(tb=64/ck=32/src_hbm), early-stop sorted 3188, train B=64 714; "
+        "see docs/PERFORMANCE.md for methodology"
+    )
+    result = None
+    try:
+        sub = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)]
+            + list(raw_argv) + ["--quick"],
+            timeout=float(os.environ.get("BENCH_FALLBACK_TIMEOUT", "600")),
+            capture_output=True, text=True,
+        )
+        sys.stderr.write(sub.stderr)
+        for line in sub.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    result = json.loads(line)
+                except Exception:
+                    pass
+    except Exception as exc:
+        print(f"# CPU fallback subprocess failed: {exc!r}", file=sys.stderr)
+    if result is None:
+        result = {
+            "metric": "CPU fallback bench did not complete",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+        }
+    result["tpu_outage_note"] = note
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def _tpu_available_or_fallback(raw_argv):
+    """Outage-proof TPU gate. One quick probe; on the FIRST failure the
+    labeled CPU-fallback JSON is printed immediately, then we keep
+    re-probing inside a hard total budget (BENCH_PROBE_BUDGET seconds,
+    default 480) in case the tunnel self-heals — if it does, the caller
+    runs the real bench and prints a second (newer) JSON line.
+
+    Returns True if the TPU is reachable, False if the fallback line is
+    the final answer.
+    """
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_PROBE_BUDGET", "480"))
+    first_timeout = float(os.environ.get("BENCH_PROBE_TIMEOUT", "150"))
+
+    status = _probe_tpu(first_timeout)
+    if status == "ok":
+        return True
+    if status == "no_tpu":
+        _emit_cpu_fallback(raw_argv, "no TPU attached (jax healthy on CPU)")
+        return False
+
+    print("# TPU probe failed; emitting CPU fallback line NOW, then "
+          "retrying within budget", file=sys.stderr)
+    _emit_cpu_fallback(raw_argv, "daemon gone / probe hang; see CLAUDE.md")
+    wait = float(os.environ.get("BENCH_PROBE_WAIT", "30"))
+    attempt = 1
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= wait + 10:
+            print(f"# TPU did not come back within the probe budget; the "
+                  f"CPU fallback line above is final", file=sys.stderr)
+            return False
+        time.sleep(wait)
+        attempt += 1
+        status = _probe_tpu(min(120.0, deadline - time.monotonic()))
+        print(f"# TPU re-probe {attempt}: {status}", file=sys.stderr)
+        if status == "ok":
+            return True
+        if status == "no_tpu":
+            return False
+
+
 def main(argv=None):
+    raw_argv = list(sys.argv[1:]) if argv is None else list(argv)
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="tiny CPU-friendly sanity run")
@@ -185,50 +305,14 @@ def main(argv=None):
         # step's measured sweet spot is 64 (docs/PERFORMANCE.md)
         args.batch = 64 if args.train else 256
 
-    # Probe TPU availability in a subprocess first: a dead axon tunnel
-    # makes jax device init hang indefinitely inside this process, which
-    # would stall the whole benchmark run. The tunnel flaps and usually
-    # self-heals within minutes, so RETRY the probe for a while
-    # (BENCH_PROBE_TRIES x BENCH_PROBE_WAIT seconds, default ~10 min)
-    # before falling back to a clearly-labeled CPU sanity run.
+    # Outage-proof TPU gate (round-4): first failed probe → the labeled
+    # CPU-fallback JSON prints IMMEDIATELY via a subprocess, retries stay
+    # inside a hard ~8 min budget, and if the tunnel heals we run the
+    # real bench and print a newer line. BENCH_r03.json was rc=124/null
+    # because the old retry loop (10x300s probes) outlived the driver.
     if not args.quick:
-        import subprocess
-
-        tries = int(os.environ.get("BENCH_PROBE_TRIES", "10"))
-        wait = float(os.environ.get("BENCH_PROBE_WAIT", "60"))
-        ok = False
-        for attempt in range(tries):
-            try:
-                probe = subprocess.run(
-                    [sys.executable, "-c",
-                     "import jax, numpy as np, jax.numpy as jnp;"
-                     "np.asarray(jnp.ones((8,8)) @ jnp.ones((8,8)));"
-                     "import sys; sys.exit(0 if jax.default_backend() "
-                     "== 'tpu' else 3)"],
-                    # generous: on a contended single CPU core, jax import
-                    # alone can take minutes (measured: concurrent pytest
-                    # starves a 120s probe into false negatives)
-                    timeout=300,
-                    capture_output=True,
-                )
-                ok = probe.returncode == 0
-                if probe.returncode == 3:
-                    # jax came up but on CPU: no TPU plugged in at all;
-                    # retrying won't help
-                    break
-            except Exception:
-                ok = False
-            if ok:
-                break
-            print(f"# TPU probe {attempt + 1}/{tries} failed; retrying in "
-                  f"{wait:.0f}s", file=sys.stderr)
-            if attempt + 1 < tries:
-                time.sleep(wait)
-        if not ok:
-            print("# TPU unavailable (probe failed); falling back to "
-                  "--quick CPU sanity run", file=sys.stderr)
-            args.quick = True
-            args.tpu_fallback = True
+        if not _tpu_available_or_fallback(raw_argv):
+            return None
 
     import jax
 
@@ -410,7 +494,7 @@ def main(argv=None):
             "unit": "images/sec/chip",
             "vs_baseline": None,  # reference publishes no train throughput
         }
-        print(json.dumps(result))
+        print(json.dumps(result), flush=True)
         print(f"# compile {compile_s:.1f}s | {per_step*1e3:.0f} ms/step | "
               f"loss {loss:.3f}", file=sys.stderr)
         return result
@@ -424,6 +508,17 @@ def main(argv=None):
     if args.decode == "beam":
         from p4fr_tpu.decoding.beam import make_beam_fn
 
+        if args.early_stop:
+            # random weights never emit <EOS>, so the all-finished
+            # while_loop exit can't trigger: dropping the label keeps the
+            # emitted JSON honest (a labeled early-stop number that
+            # silently burned all steps would corrupt cross-round
+            # comparisons). Real-data beam DOES exit early (early_stop_eos
+            # below enables the while_loop).
+            print("# --early-stop: beam has no stop_override injection "
+                  "hook; label dropped (all steps burn on random weights)",
+                  file=sys.stderr)
+            args.early_stop = False
         beam_kernel = "pallas_v2" if args.pallas_v2 else "jnp"
         decode_fn = make_beam_fn(
             model, max_steps=args.steps, beam_width=args.beam_width,
@@ -479,6 +574,10 @@ def main(argv=None):
         if args.tiled_cache and args.pallas_v2:
             path_label = "pallas-v2 tiled-cache, "
     else:
+        if args.early_stop:
+            print("# --early-stop: generic decode path has no "
+                  "stop_override hook; label dropped", file=sys.stderr)
+            args.early_stop = False
         fn = jax.jit(
             make_greedy_fn(
                 model, max_steps=args.steps, tables=tables,
@@ -577,7 +676,9 @@ def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
     # rig, not the chip; headline = device-side serving)
     probe = u8_batches[0]
     t0 = time.perf_counter()
-    jax.block_until_ready(jax.device_put(probe))
+    # np.asarray of a tiny reduction forces a REAL device sync (through
+    # the axon tunnel block_until_ready returns early; CLAUDE.md)
+    np.asarray(jnp.max(jax.device_put(probe)))
     h2d_mbps = probe.nbytes / (time.perf_counter() - t0) / 1e6
     u8_dev = [jax.device_put(u8s[0]) for u8s in member_u8]
 
@@ -613,7 +714,7 @@ def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
             "(>10 GB/s) costs ~3% of a decode batch"
         ),
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     print(
         f"# compile {compile_s:.1f}s | single-batch latency "
         f"{single_s*1e3:.0f} ms | pipelined "
@@ -672,7 +773,9 @@ def _run_decode_bench(args, jax, jnp, fn, variables, images, u8_batches,
     if not args.device_resident:
         probe = u8_batches[0]
         t0 = time.perf_counter()
-        jax.block_until_ready(jax.device_put(probe))
+        # np.asarray of a tiny reduction forces a REAL device sync
+        # (block_until_ready returns early through the axon tunnel)
+        np.asarray(jnp.max(jax.device_put(probe)))
         dt = time.perf_counter() - t0
         h2d_mbps = probe.nbytes / dt / 1e6
 
@@ -741,16 +844,7 @@ def _run_decode_bench(args, jax, jnp, fn, variables, images, u8_batches,
             f"({h2d_mbps:.0f} MB/s); a physical TPU host PCIe feed "
             "(>10 GB/s) costs ~3% of a decode batch"
         )
-    if getattr(args, "tpu_fallback", False):
-        result["tpu_outage_note"] = (
-            "axon TPU tunnel was down at bench time (daemon gone; probe "
-            "retries exhausted) — this is the CPU sanity fallback, NOT "
-            "chip throughput. Last same-repo TPU captures with this "
-            "code: greedy B=256 1746 img/s (tb=64/ck=32/src_hbm), "
-            "early-stop sorted 3188; see docs/PERFORMANCE.md round-3 "
-            "tables for methodology"
-        )
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
     print(
         f"# compile {compile_s:.1f}s | single-batch latency "
         f"{single_s*1e3:.0f} ms ({args.batch/single_s:.0f} img/s synced) | "

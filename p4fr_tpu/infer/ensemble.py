@@ -232,12 +232,21 @@ def run_ensemble(
         early_stop_eos=vocab.eos_id if early_stop else None,
         kernel=kernel,
     )
-    def encode_fn(model):
+    def encode_fn(model, allow_pallas=True):
         if device_preprocess:
-            from p4fr_tpu.ops.pallas.preprocess import standardize
+            from p4fr_tpu.ops.pallas.preprocess import (
+                _standardize_jnp,
+                standardize,
+            )
 
+            # GSPMD cannot partition a pallas_call, so encoders that run
+            # under jit(in_shardings=...) on a mesh must standardize via
+            # the identical jnp expression (XLA partitions + fuses it into
+            # the first conv); single-device encoders keep the fused
+            # Pallas kernel
+            std = standardize if allow_pallas else _standardize_jnp
             return lambda v, im, m=model: m.apply(
-                v, standardize(im, out_dtype=m.dtype), method="encode"
+                v, std(im, out_dtype=m.dtype), method="encode"
             )
         return lambda v, im, m=model: m.apply(v, im, method="encode")
 
@@ -254,7 +263,7 @@ def run_ensemble(
         decode = make_sharded_infer_fn(decode_fn, mesh)
         encoders = [
             jax.jit(
-                encode_fn(model),
+                encode_fn(model, allow_pallas=False),
                 in_shardings=(repl, batch_sh),
                 out_shardings=batch_sh,
             )

@@ -31,7 +31,12 @@ from p4fr_tpu.data.loader import DataLoader
 from p4fr_tpu.infer.single import load_model_from_checkpoint
 from p4fr_tpu.models.registry import get_network
 from p4fr_tpu.train import single_opt as so
-from p4fr_tpu.train.schedules import TeacherForcingScheduler, cosine_warmup_restarts
+from p4fr_tpu.train.schedules import (
+    TeacherForcingScheduler,
+    circular_lr,
+    circular_momentum,
+    cosine_warmup_restarts,
+)
 from p4fr_tpu.train.steps import (
     TrainState,
     ar_sampled_logits,
@@ -181,15 +186,24 @@ def main(options_or_path, *, teacher_ckpt: str, max_label_len: int = 232,
 
     student = get_network(options.network, options, vocab, dtype=dtype)
     total_steps = len(train_loader) * options.num_epochs
-    schedule = cosine_warmup_restarts(
-        options.optimizer.lr, total_steps,
-        warmup_ratio=options.scheduler.warmup_ratio, gamma=0.8,
-        cycles=options.scheduler.get("cycle", 1),
-    )
+    # scheduler selection mirrors the reference student trainer
+    # (train_modules/train_distillation.py:422-438): CustomCosine or the
+    # "Cycle" CircularLRBeta with its [0.95, 0.85] beta1 counter-cycle
+    if options.scheduler.scheduler == "Cycle":
+        schedule = circular_lr(options.optimizer.lr, total_steps)
+        b1_schedule = circular_momentum(total_steps)
+    else:
+        schedule = cosine_warmup_restarts(
+            options.optimizer.lr, total_steps,
+            warmup_ratio=options.scheduler.warmup_ratio, gamma=0.8,
+            cycles=options.scheduler.get("cycle", 1),
+        )
+        b1_schedule = None
     optimizer = build_optimizer(
         options.optimizer.optimizer, schedule,
         weight_decay=options.optimizer.weight_decay,
         max_grad_norm=options.max_grad_norm,
+        b1_schedule=b1_schedule,
     )
     tf_scheduler = TeacherForcingScheduler(
         total_steps, options.teacher_forcing_ratio.tf_max,

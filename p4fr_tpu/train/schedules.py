@@ -11,9 +11,11 @@ nothing is stateful, so jitted train steps can consume the value directly.
   amplitude decay eta_max *= gamma per cycle. The trainers instantiate it
   with base_lr=0, T_0=total_steps//cycle, T_up=10%, gamma=0.8
   (train_modules/train_single_opt.py:317-345).
-- ``circular_lr``: CircularLRBeta triangular schedule
-  (schedulers/circular_lr.py:6-70), LR only (the beta-momentum leg is a
-  no-op for Adam in optax chains; exposed separately if ever needed).
+- ``circular_lr`` / ``circular_momentum``: CircularLRBeta triangular LR
+  plus its Adam beta1 momentum counter-cycle (schedulers/circular_lr.py:6-70
+  — the reference always constructs it with ``momentum=[0.95, 0.85]``,
+  train_modules/train_single_opt.py:385, train_distillation.py:436); the
+  trainers feed the beta1 schedule through ``optax.inject_hyperparams``.
 - ``teacher_forcing_arctan``: arctan decay from tf_max to tf_min with the
   first 10% trimmed and tf_min after exhaustion
   (schedulers/tf_scheduler.py:44-54).
@@ -124,6 +126,38 @@ def circular_lr(
         up = lr_max * (1 + up_cut * (lr_divider - 1)) / lr_divider
         return jnp.where(
             it > 2 * cycle_step, tail, jnp.where(it > cycle_step, down, up)
+        )
+
+    return schedule
+
+
+def circular_momentum(
+    step_size: int,
+    *,
+    m0: float = 0.95,
+    m1: float = 0.85,
+    cut_point: int = 10,
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """CircularLRBeta's Adam beta1 cycle (schedulers/circular_lr.py:36-48).
+
+    Counter-cycles against the triangular LR: beta1 falls m0 -> m1 while
+    the LR rises, climbs back m1 -> m0 while it falls, and pins at m0
+    through the tail. The reference applies it by rewriting
+    ``group["betas"] = (momentum, beta2)`` every step
+    (circular_lr.py:62-66); here it is a pure ``step -> b1`` schedule for
+    ``optax.inject_hyperparams``. Wraps every ``step_size`` iterations
+    like the LR leg.
+    """
+    cycle_step = int(step_size * (1 - cut_point / 100) / 2)
+
+    def schedule(step):
+        it = jnp.mod(jnp.asarray(step, jnp.float32), step_size)
+        down_cut = 1 - (it - cycle_step) / max(cycle_step, 1)
+        down = m0 + down_cut * (m1 - m0)
+        up_cut = it / max(cycle_step, 1)
+        up = m0 + up_cut * (m1 - m0)
+        return jnp.where(
+            it > 2 * cycle_step, m0, jnp.where(it > cycle_step, down, up)
         )
 
     return schedule

@@ -34,6 +34,7 @@ from p4fr_tpu.models.registry import get_network
 from p4fr_tpu.train.schedules import (
     TeacherForcingScheduler,
     circular_lr,
+    circular_momentum,
     cosine_warmup_restarts,
 )
 from p4fr_tpu.train.steps import (
@@ -139,13 +140,19 @@ def main(options_or_path, *, max_label_len: int = 232, log_dir: Optional[str] = 
             gamma=0.8,
             cycles=options.scheduler.get("cycle", 1),
         )
+        b1_schedule = None
     else:
+        # reference "Cycle": CircularLRBeta(opt, lr, 10, 10, cycle,
+        # momentum=[0.95, 0.85]) — the beta1 counter-cycle rides along
+        # (train_modules/train_single_opt.py:385)
         schedule = circular_lr(options.optimizer.lr, total_steps)
+        b1_schedule = circular_momentum(total_steps)
     optimizer = build_optimizer(
         options.optimizer.optimizer,
         schedule,
         weight_decay=options.optimizer.weight_decay,
         max_grad_norm=options.max_grad_norm,
+        b1_schedule=b1_schedule,
     )
     tf_scheduler = TeacherForcingScheduler(
         num_steps=total_steps,

@@ -197,14 +197,34 @@ def build_optimizer(
     *,
     weight_decay: float = 0.0,
     max_grad_norm: Optional[float] = None,
+    b1_schedule=None,
 ) -> optax.GradientTransformation:
     """Adam / AdamW / Adadelta with clip-by-global-norm, reference defaults
-    (utils/utils.py:83-95: Adam has NO weight decay; AdamW/Adadelta do)."""
+    (utils/utils.py:83-95: Adam has NO weight decay; AdamW/Adadelta do).
+
+    ``b1_schedule``: optional ``step -> beta1`` schedule for the Adam
+    family, injected via ``optax.inject_hyperparams`` — the TPU analog of
+    CircularLRBeta rewriting ``group["betas"]`` per step
+    (schedulers/circular_lr.py:62-66). Adadelta has no betas; the
+    reference's group["betas"] write is a dead key there, so it is
+    ignored for parity.
+    """
     name = name.lower()
     if name == "adam":
-        core = optax.adam(schedule)
+        if b1_schedule is not None:
+            core = optax.inject_hyperparams(optax.adam)(
+                learning_rate=schedule, b1=b1_schedule
+            )
+        else:
+            core = optax.adam(schedule)
     elif name == "adamw":
-        core = optax.adamw(schedule, weight_decay=weight_decay)
+        if b1_schedule is not None:
+            core = optax.inject_hyperparams(optax.adamw)(
+                learning_rate=schedule, b1=b1_schedule,
+                weight_decay=weight_decay,
+            )
+        else:
+            core = optax.adamw(schedule, weight_decay=weight_decay)
     elif name == "adadelta":
         core = optax.adadelta(schedule, weight_decay=weight_decay)
     else:

@@ -293,6 +293,32 @@ def test_circular_lr_vs_real_reference(ref):
         assert abs(got - want) < 1e-9, (it, got, want)
 
 
+def test_circular_momentum_vs_real_reference(ref):
+    """The Adam beta1 counter-cycle: the reference constructs
+    CircularLRBeta with momentum=[0.95, 0.85] on a REAL torch Adam
+    (train_modules/train_single_opt.py:385) and rewrites group["betas"]
+    every step (circular_lr.py:62-66). Track both the lr and beta1 the
+    torch optimizer actually sees across two full cycles."""
+    from p4fr_tpu.train.schedules import circular_lr, circular_momentum
+
+    lr_max, step_size = 1e-3, 50
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.Adam([p], lr=lr_max)
+    real = ref.circular.CircularLRBeta(
+        opt, lr_max=lr_max, lr_divider=10, cut_point=10,
+        step_size=step_size, momentum=[0.95, 0.85],
+    )
+    mine_lr = circular_lr(lr_max, step_size)
+    mine_b1 = circular_momentum(step_size)
+    for it in range(2 * step_size + 5):
+        real.step()
+        want_lr = opt.param_groups[0]["lr"]
+        want_b1, want_b2 = opt.param_groups[0]["betas"]
+        assert abs(float(mine_lr(it)) - want_lr) < 1e-9, (it, want_lr)
+        assert abs(float(mine_b1(it)) - want_b1) < 1e-7, (it, want_b1)
+        assert want_b2 == 0.999  # beta2 untouched, like inject_hyperparams
+
+
 def test_teacher_forcing_vs_real_reference(ref):
     from p4fr_tpu.train.schedules import TeacherForcingScheduler
 

@@ -76,6 +76,69 @@ def test_circular_lr_matches_oracle():
         assert abs(float(sched(it)) - want) < 1e-9
 
 
+def test_circular_momentum_matches_oracle():
+    """beta1 counter-cycle of CircularLRBeta.get_momentum
+    (schedulers/circular_lr.py:36-48) with momentum=[0.95, 0.85]."""
+    from p4fr_tpu.train.schedules import circular_momentum
+
+    step_size = 50
+    sched = circular_momentum(step_size)
+    cycle_step = int(step_size * (1 - 10 / 100) / 2)
+    for it in range(2 * step_size):
+        i = it % step_size
+        if i > 2 * cycle_step:
+            want = 0.95
+        elif i > cycle_step:
+            cut = 1 - (i - cycle_step) / cycle_step
+            want = 0.95 + cut * (0.85 - 0.95)
+        else:
+            cut = i / cycle_step
+            want = 0.95 + cut * (0.85 - 0.95)
+        assert abs(float(sched(it)) - want) < 1e-7, (it, want)
+
+
+def test_build_optimizer_applies_b1_schedule():
+    """build_optimizer(b1_schedule=...) must produce updates IDENTICAL to
+    a fixed-b1 adam at each step's scheduled value — proving
+    inject_hyperparams actually drives the optimizer math, not just a
+    recorded hyperparam."""
+    import jax.numpy as jnp
+    import optax
+
+    from p4fr_tpu.train.schedules import circular_momentum
+    from p4fr_tpu.train.steps import build_optimizer
+
+    step_size = 20
+    b1s = circular_momentum(step_size)
+    opt = build_optimizer("adam", 1e-3, b1_schedule=b1s)
+    params = {"w": jnp.ones((3,))}
+    state = opt.init(params)
+    grads = {"w": jnp.asarray([0.1, -0.2, 0.3])}
+    # manual reference: optax.adam re-built per step at the scheduled b1,
+    # with moments carried forward by hand
+    mu = {"w": jnp.zeros((3,))}
+    nu = {"w": jnp.zeros((3,))}
+    p_ref = params
+    for step in range(5):
+        updates, state = opt.update(grads, state, params)
+        b1 = float(b1s(step))
+        mu = {"w": b1 * mu["w"] + (1 - b1) * grads["w"]}
+        nu = {"w": 0.999 * nu["w"] + 0.001 * grads["w"] ** 2}
+        mu_hat = mu["w"] / (1 - b1 ** (step + 1))
+        # optax bias-corrects nu with the CURRENT b2 only; b1 correction
+        # uses the current b1 value (matches inject_hyperparams semantics)
+        nu_hat = nu["w"] / (1 - 0.999 ** (step + 1))
+        want = -1e-3 * mu_hat / (jnp.sqrt(nu_hat) + 1e-8)
+        np.testing.assert_allclose(
+            np.asarray(updates["w"]), np.asarray(want), rtol=1e-5
+        )
+        p_ref = {"w": p_ref["w"] + want}
+        params = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(params["w"]), np.asarray(p_ref["w"]), rtol=1e-5
+    )
+
+
 def test_constant_with_warmup():
     sched = constant_with_warmup(5e-4, 10)
     assert float(sched(0)) == 0.0
