@@ -41,6 +41,7 @@ def make_beam_fn(
     pad_id: Optional[int] = None,
     from_memory: bool = False,
     kernel: str = "auto",
+    early_stop: bool = False,
 ) -> Callable:
     """Build fn(variables, images_or_src) -> tokens [B, max_steps].
 
@@ -49,6 +50,14 @@ def make_beam_fn(
     step) or the flash-decode Pallas kernel ("pallas_v2"); "auto" picks
     pallas_v2 on TPU. Models without the fast-decode contract (ASTER's
     LSTM decoder) always use their generic ``decode_step``.
+
+    ``early_stop``: run the step loop as a ``lax.while_loop`` that exits
+    once EVERY beam of EVERY sample has emitted <EOS> (the beam mirror of
+    greedy's ``early_stop_eos``; the reference's best-first queue stops
+    per sample when enough end nodes are found,
+    EfficientSATRN.py:758-764). Token-identical to the full scan —
+    finished beams only ever extend with zero-cost <PAD>, which is
+    exactly what the unfilled tail of the preallocated buffers holds.
     """
     sos_id = model.sos_id
     pad_id = model.pad_id if pad_id is None else pad_id
@@ -156,9 +165,45 @@ def make_beam_fn(
             )
 
         carry0 = (token0, cache, scores0, lengths0, finished0)
-        (_, _, scores, lengths, _), (tokens, parents) = jax.lax.scan(
-            body, carry0, jnp.arange(max_steps)
-        )
+        if early_stop:
+            # preallocated trace buffers; the unfilled tail (<PAD> tokens,
+            # identity parents) is exactly the frozen-beam continuation,
+            # so the backtrace below needs no step count
+            tokens_buf0 = jnp.full((max_steps, B, W), pad_id, jnp.int32)
+            parents_buf0 = jnp.broadcast_to(
+                jnp.arange(W, dtype=jnp.int32)[None, None, :],
+                (max_steps, B, W),
+            ).astype(jnp.int32)
+
+            def cond(c):
+                t, _, _, _, _, finished, _, _ = c
+                return (t < max_steps) & ~jnp.all(finished)
+
+            def wbody(c):
+                t, token, cache, scores, lengths, finished, tbuf, pbuf = c
+                (token, cache, scores, lengths, finished), (tk, pr) = body(
+                    (token, cache, scores, lengths, finished), t
+                )
+                tbuf = jax.lax.dynamic_update_slice(
+                    tbuf, tk[None], (t, 0, 0)
+                )
+                pbuf = jax.lax.dynamic_update_slice(
+                    pbuf, pr.astype(jnp.int32)[None], (t, 0, 0)
+                )
+                return (t + 1, token, cache, scores, lengths, finished,
+                        tbuf, pbuf)
+
+            (_, _, _, scores, lengths, _, tokens, parents) = (
+                jax.lax.while_loop(
+                    cond,
+                    wbody,
+                    (jnp.asarray(0), *carry0, tokens_buf0, parents_buf0),
+                )
+            )
+        else:
+            (_, _, scores, lengths, _), (tokens, parents) = jax.lax.scan(
+                body, carry0, jnp.arange(max_steps)
+            )
         # pick best beam by length-normalized score (reference
         # BeamSearchNode.eval: logp / length; decoding.py:64-80)
         norm = scores / jnp.maximum(lengths, 1.0)

@@ -183,6 +183,7 @@ def run_inference(
             model, max_steps=num_steps, beam_width=beam_width,
             eos_id=vocab.eos_id,
             kernel="generic" if kernel == "fused" else kernel,
+            early_stop=early_stop,
         )
     else:
         raise ValueError(f"decode_type {decode_type}")

@@ -418,9 +418,7 @@ def decoder_layer_step_v2(
     (make_fast_greedy_fn does; see its v2 padding).
     """
     b, hidden = x.shape
-    tb = min(batch_tile, b)
-    while b % tb:
-        tb -= 1
+    tb = _pick_batch_tile(b, batch_tile, sublane16=tiled_cache)
     if tiled_cache:
         # cache is [G, L, TB, 2H] (see tiled_cache_shape); the tile used
         # at allocation must equal the kernel's batch tile
@@ -541,12 +539,38 @@ def decoder_layer_step_v2(
     return out, new_cache
 
 
+def _pick_batch_tile(b: int, batch_tile: int, *, sublane16: bool) -> int:
+    """Tile selection shared by the kernel and ``tiled_cache_shape``.
+
+    An exactly-dividing ``batch_tile`` is the caller's explicit choice
+    and is honored as-is (tiny interpret-mode tests use tb=2). Otherwise
+    the largest divisor of ``b`` is the fallback — and for ``sublane16``
+    (the tiled-cache layout) the fallback must be a multiple of the bf16
+    sublane tile 16: the tiled kernel's (CK, TB, H) -> (CK*TB, H)
+    reshape is only layout-free then, so a silent tb=24 (e.g. b=48 with
+    the default tile 32) would fail Mosaic compile after the cache was
+    already allocated. Raises with a padding hint when no such tile
+    exists rather than baking a doomed allocation."""
+    if batch_tile >= 1 and b % batch_tile == 0:
+        return batch_tile  # implies batch_tile <= b
+    tb = min(batch_tile, b)
+    while tb >= 1 and (b % tb or (sublane16 and tb % 16)):
+        tb -= 1
+    if sublane16 and (tb < 1 or tb % 16):
+        raise ValueError(
+            f"tiled_cache: no batch tile <= {batch_tile} divides "
+            f"batch {b} while keeping the bf16 sublane-16 constraint; "
+            f"pad the batch to a multiple of 16 (make_fast_greedy_fn "
+            f"does) or pass an exactly-dividing batch_tile"
+        )
+    return tb
+
+
 def tiled_cache_shape(batch: int, max_len: int, hidden: int,
                       batch_tile: int = 32) -> Tuple[int, int, int, int]:
     """[G, L, TB, 2H] allocation shape for ``tiled_cache=True`` (one
     prefix chunk per grid tile is a single contiguous HBM region). Uses
-    the same tile-fallback rule as ``decoder_layer_step_v2``."""
-    tb = min(batch_tile, batch)
-    while batch % tb:
-        tb -= 1
+    the same tile-fallback rule as ``decoder_layer_step_v2`` (sublane-16
+    constrained — the tile is baked into the allocation)."""
+    tb = _pick_batch_tile(batch, batch_tile, sublane16=True)
     return (batch // tb, max_len, tb, 2 * hidden)

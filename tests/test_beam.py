@@ -51,6 +51,36 @@ def test_beam_width_3_runs_and_scores_sane():
     np.testing.assert_array_equal(out, out2)
 
 
+def test_beam_early_stop_matches_full_scan():
+    """early_stop=True (all-finished while_loop exit) must be
+    token-identical to the full scan — both when <EOS> never appears
+    (random weights: the loop burns all steps) and when every beam
+    finishes immediately (EOS-biased generator: the loop exits after ~2
+    steps and the preallocated PAD/identity tail must reproduce the
+    frozen-beam continuation)."""
+    model, variables, images = _setup()
+    for W in (1, 3):
+        full = jax.jit(make_beam_fn(model, max_steps=T, beam_width=W,
+                                    eos_id=1))
+        es = jax.jit(make_beam_fn(model, max_steps=T, beam_width=W,
+                                  eos_id=1, early_stop=True))
+        np.testing.assert_array_equal(
+            np.asarray(full(variables, images)),
+            np.asarray(es(variables, images)),
+        )
+        # EOS-biased: every sample emits <EOS> at step 0
+        biased = jax.tree_util.tree_map(lambda x: x, variables)
+        bias = biased["params"]["decoder"]["generator"]["bias"]
+        biased["params"]["decoder"]["generator"]["bias"] = (
+            bias.at[1].add(50.0)
+        )
+        got_full = np.asarray(full(biased, images))
+        got_es = np.asarray(es(biased, images))
+        np.testing.assert_array_equal(got_full, got_es)
+        assert (got_es[:, 0] == 1).all()  # EOS first
+        assert (got_es[:, 1:] == model.pad_id).all()  # frozen tail
+
+
 def _tiny_aster():
     from p4fr_tpu.models.aster import ASTER
 

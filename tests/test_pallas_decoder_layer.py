@@ -251,6 +251,34 @@ def test_pick_v2_config():
     ) == (2, 4, False)
 
 
+def test_tiled_cache_tile_fallback_respects_sublane16():
+    """The tiled-cache tile FALLBACK must never bake a tile that is not a
+    multiple of the bf16 sublane tile 16 (e.g. b=48 with the default
+    tile 32 used to give tb=24, which the tiled kernel's
+    (CK,TB,H)->(CK*TB,H) reshape cannot compile); impossible batches
+    raise with a padding hint instead of a doomed allocation. Explicit
+    exactly-dividing tiles (tiny interpret tests) stay honored."""
+    import pytest
+
+    from p4fr_tpu.ops.pallas.decoder_layer_v2 import (
+        _pick_batch_tile,
+        tiled_cache_shape,
+    )
+
+    # the advisor's case: 48 with the default 32 -> 16, not 24
+    assert tiled_cache_shape(48, 8, 4, 32)[:3] == (3, 8, 16)
+    assert _pick_batch_tile(48, 32, sublane16=True) == 16
+    # multiples of the tile are honored directly
+    assert _pick_batch_tile(64, 32, sublane16=True) == 32
+    # explicit exactly-dividing small tiles stay honored (interpret mode)
+    assert _pick_batch_tile(4, 2, sublane16=True) == 2
+    # non-multiple-of-16 batch with no valid fallback raises clearly
+    with pytest.raises(ValueError, match="multiple of 16"):
+        _pick_batch_tile(40, 32, sublane16=True)
+    # the untiled path keeps the permissive largest-divisor fallback
+    assert _pick_batch_tile(48, 32, sublane16=False) == 24
+
+
 def test_pallas_v2_tiled_cache_matches_fast_step():
     """tiled_cache=True: the [G, L, TB, 2H] tile-contiguous layout must
     reproduce the jnp fast step exactly (the DMA geometry changes, the
