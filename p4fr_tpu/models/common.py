@@ -70,6 +70,12 @@ class TransformerDecoderLayer(nn.Module):
     filter_dim: int
     head_num: int
     dropout: float = 0.1
+    # Reference quirk: every transformer family constructs the decoder
+    # Feedforward WITHOUT a dropout argument, so the class default 0.1
+    # applies regardless of the configured dropout_rate
+    # (networks/LiteSATRN.py:350-352, EfficientSATRN.py:369-371,
+    # SWIN.py:864-866) — the FF leg is pinned separately from `dropout`.
+    ff_dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     cache_outputs: bool = True  # reference AR-cache semantics
 
@@ -95,7 +101,7 @@ class TransformerDecoderLayer(nn.Module):
         self.feedforward = Feedforward(
             filter_dim=self.filter_dim,
             hidden_dim=self.hidden_dim,
-            dropout=self.dropout,
+            dropout=self.ff_dropout,
             dtype=self.dtype,
         )
         self.feedforward_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
@@ -172,6 +178,7 @@ class TransformerDecoder(nn.Module):
     pad_id: int
     sos_id: int
     dropout: float = 0.1
+    ff_dropout: float = 0.1  # reference FF-default quirk; see layer note
     dtype: jnp.dtype = jnp.float32
     cache_outputs: bool = True
     pe_max_len: int = 500
@@ -192,6 +199,7 @@ class TransformerDecoder(nn.Module):
                 filter_dim=self.filter_dim,
                 head_num=self.head_num,
                 dropout=self.dropout,
+                ff_dropout=self.ff_dropout,
                 dtype=self.dtype,
                 cache_outputs=self.cache_outputs,
                 name=f"layer{i}",

@@ -229,6 +229,9 @@ class SATRN(nn.Module):
     dec_layer_num: int
     dec_head_num: int
     dropout: float = 0.1
+    # decoder-FF dropout is pinned at the reference Feedforward default
+    # 0.1 independent of `dropout` (see common.TransformerDecoderLayer)
+    ff_dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     backbone: str = "shallow"
     reference_parity: bool = True
@@ -256,6 +259,7 @@ class SATRN(nn.Module):
             pad_id=self.pad_id,
             sos_id=self.sos_id,
             dropout=self.dropout,
+            ff_dropout=self.ff_dropout,
             dtype=self.dtype,
             cache_outputs=self.reference_parity,
         )

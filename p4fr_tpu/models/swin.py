@@ -286,6 +286,8 @@ class SwinTRN(nn.Module):
     dec_layer_num: int
     dec_head_num: int
     dropout: float = 0.1
+    # decoder-FF dropout pinned at the reference default 0.1 (SWIN.py:864)
+    ff_dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
     reference_parity: bool = True
     # encoder architecture (defaults = Swin-B/384, the reference's
@@ -316,6 +318,7 @@ class SwinTRN(nn.Module):
             pad_id=self.pad_id,
             sos_id=self.sos_id,
             dropout=self.dropout,
+            ff_dropout=self.ff_dropout,
             dtype=self.dtype,
             cache_outputs=self.reference_parity,
         )

@@ -45,7 +45,12 @@ def _t_depthwise(w: np.ndarray) -> np.ndarray:
 
 
 def _identity(w: np.ndarray) -> np.ndarray:
-    return np.ascontiguousarray(w)
+    # np.array(copy=True), NOT ascontiguousarray: the input is usually a
+    # numpy VIEW of a live torch tensor (state_dict -> .numpy()), and
+    # ascontiguousarray is a no-op for contiguous arrays — the converted
+    # tree would silently alias torch storage and mutate if the torch
+    # model keeps training (bit us in the trainer-parity oracle)
+    return np.array(w, copy=True)
 
 
 # ---------------------------------------------------------------------------

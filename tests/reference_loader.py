@@ -208,6 +208,53 @@ def load_reference_full():
     return full
 
 
+def load_reference_trainer():
+    """Additionally import the REAL ``train_modules/train_single_opt.py``
+    (the training hot loop, :40-212) so tests can step the actual
+    reference trainer code.
+
+    Stubs exactly the import surface the module touches but never uses in
+    ``_train_one_epoch``: torchvision.transforms (imported at :13, unused),
+    the ``data`` package's loader/transform names (the tests drive the
+    loop with their own loaders), and a ``schedulers`` package re-exporting
+    the already-loaded real scheduler classes.
+    """
+    if "trainer" in _CACHE:
+        return _CACHE["trainer"]
+    full = load_reference_full()
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tv.transforms = types.ModuleType("torchvision.transforms")
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.transforms"] = tv.transforms
+
+    data_pkg = sys.modules["data"]
+    for name in ("get_train_transforms", "get_valid_transforms",
+                 "dataset_loader"):
+        if not hasattr(data_pkg, name):
+            setattr(data_pkg, name, None)  # imported at :30, unused here
+
+    if "schedulers" not in sys.modules:
+        sched_pkg = types.ModuleType("schedulers")
+        sched_pkg.__path__ = []
+        sched_pkg.CircularLRBeta = full.circular.CircularLRBeta
+        sched_pkg.CustomCosineAnnealingWarmUpRestarts = (
+            full.cosine.CustomCosineAnnealingWarmUpRestarts
+        )
+        sched_pkg.TeacherForcingScheduler = (
+            full.tf_sched.TeacherForcingScheduler
+        )
+        sys.modules["schedulers"] = sched_pkg
+
+    trainer = _load_by_path(
+        "_ref_train_single_opt", REF / "train_modules" / "train_single_opt.py"
+    )
+    out = types.SimpleNamespace(trainer=trainer, **vars(full))
+    _CACHE["trainer"] = out
+    return out
+
+
 @contextmanager
 def cpu_get_device():
     """Run reference CUDA-assuming code on CPU torch (see module docstring)."""
