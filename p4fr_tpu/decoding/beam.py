@@ -48,8 +48,8 @@ def make_beam_fn(
     ``kernel``: transformer-decoder models advance hypotheses through the
     fused-weight fast step ("jnp", token-identical to the generic flax
     step) or the flash-decode Pallas kernel ("pallas_v2"); "auto" picks
-    pallas_v2 on TPU. Models without the fast-decode contract (ASTER's
-    LSTM decoder) always use their generic ``decode_step``.
+    pallas_v2 on TPU. ASTER advances hypotheses through its fused-LSTM
+    fast step (decoding/fast_aster.py) unless kernel="generic".
 
     ``early_stop``: run the step loop as a ``lax.while_loop`` that exits
     once EVERY beam of EVERY sample has emitted <EOS> (the beam mirror of
@@ -108,6 +108,29 @@ def make_beam_fn(
 
             def step(token, t, cache):
                 return raw_step(fast, token, t, src_kv, cache)
+        elif kernel != "generic" and getattr(
+            model, "supports_fast_lstm_decode", False
+        ):
+            # ASTER: fused-LSTM fast step (decoding/fast_aster.py), the
+            # same numeric class as the generic decode_step — the cache
+            # (LSTM h/c + attention src projections) gathers by parent
+            # exactly like the transformer cache below
+            from p4fr_tpu.decoding.fast_aster import (
+                build_fast_aster,
+                fast_aster_step,
+                init_fast_aster_cache,
+                precompute_aster_src,
+            )
+
+            fa = build_fast_aster(model, variables)
+            src_proj = precompute_aster_src(
+                fa, src_tiled.astype(fa.w_gen.dtype)
+            )
+            cache = init_fast_aster_cache(fa, BW)
+
+            def step(token, t, cache):
+                return fast_aster_step(fa, token, src_proj[0], src_proj[1],
+                                       cache)
         else:
             src_kv = model.apply(
                 variables, src_tiled, method="precompute_src"

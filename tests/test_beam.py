@@ -177,6 +177,22 @@ def test_beam_pads_after_eos():
             assert all(t == 2 for t in row[k + 1 :]), row
 
 
+def test_aster_beam_fast_lstm_matches_generic():
+    """Beam over ASTER's fused-LSTM fast step (decoding/fast_aster.py) ==
+    beam over the generic flax decode_step, token for token — the
+    parent-beam gather must permute the (h, c) LSTM cache exactly like
+    the transformer KV cache."""
+    model, variables, images = _tiny_aster()
+    for w in (1, 3):
+        a = jax.jit(make_beam_fn(
+            model, max_steps=T, beam_width=w, eos_id=1, kernel="generic"
+        ))(variables, images)
+        b = jax.jit(make_beam_fn(
+            model, max_steps=T, beam_width=w, eos_id=1, kernel="jnp"
+        ))(variables, images)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_beam_kernel_paths_agree():
     """Beam over the fused fast step ("jnp") == beam over the generic flax
     decode_step, token for token (SATRN; the per-step equivalence is
