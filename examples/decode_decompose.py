@@ -45,6 +45,9 @@ def main(argv=None):
                    help="attribute the layer-independent fixed per-step "
                    "cost instead of the knob sweep: empty scan, DUS-only, "
                    "1/3/6-layer linearity")
+    p.add_argument("--slot-probe", action="store_true",
+                   help="head-to-head: external cache-slot DUS vs the "
+                        "in-kernel slot DMA (slot_in_kernel=True)")
     p.add_argument("--v3", action="store_true",
                    help="A/B the single-launch stacked-layer v3 kernel "
                    "(grid over tiles x layers) against the 3-launch v2 "
@@ -90,7 +93,7 @@ def main(argv=None):
 
     def build(layers, src_len, *, chunk=64, tb=32, fixed_pos=None,
               tiled=False, max_len=None, src_hbm=False, steps=None,
-              chain=True):
+              chain=True, slot_in_kernel=False):
         steps = steps or args.steps
         max_len = max_len or ((steps + chunk - 1) // chunk) * chunk
         weights = [layer_weights() for _ in range(layers)]
@@ -111,6 +114,7 @@ def main(argv=None):
             decoder_layer_step_v2, head_num=args.heads, cache_outputs=True,
             batch_tile=tb, chunk=chunk, interpret=not on_tpu,
             tiled_cache=tiled, src_hbm=src_hbm,
+            slot_in_kernel=slot_in_kernel,
         )
 
         def body(carry, t):
@@ -297,6 +301,33 @@ def main(argv=None):
             "linearity_3L_pred": round(one + 2 * b, 1),
             "linearity_3L_meas": round(three, 1),
             "indep_3L_meas": round(indep, 1),
+        }))
+        return
+
+    if args.slot_probe:
+        # r4 trace finding: the external cache-slot DUS costs
+        # ~16.5us/layer/step. The flat [B, L, 2H] cache CANNOT take the
+        # in-kernel row DMA (Mosaic: 1-row slice along the sublane-tiled
+        # L dim is unaligned — the same tiling fact that makes the XLA
+        # DUS expensive). The tiled [G, L, TB, 2H] layout slices only
+        # untiled leading dims, so the slot write is tile-aligned there.
+        prod = timeit("3L tb=64 ck=32 src_hbm (ext DUS, flat)",
+                      build(3, args.src_len, tb=64, chunk=32,
+                            src_hbm=True))
+        tprod = timeit("3L tb=64 ck=32 src_hbm tiled (ext DUS)",
+                       build(3, args.src_len, tb=64, chunk=32,
+                             src_hbm=True, tiled=True))
+        tslot = timeit("3L tb=64 ck=32 src_hbm tiled slot-in-kernel",
+                       build(3, args.src_len, tb=64, chunk=32,
+                             src_hbm=True, tiled=True,
+                             slot_in_kernel=True))
+        print(json.dumps({
+            "metric": "slot-in-kernel probe (B=%d)" % args.batch,
+            "prod_flat_us": round(prod * 1e6, 1),
+            "prod_tiled_us": round(tprod * 1e6, 1),
+            "prod_tiled_slot_us": round(tslot * 1e6, 1),
+            "slot_delta_us": round((tprod - tslot) * 1e6, 1),
+            "vs_flat_us": round((prod - tslot) * 1e6, 1),
         }))
         return
 

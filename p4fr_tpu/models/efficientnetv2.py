@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -50,6 +51,31 @@ def _bn(train: bool, name: str, dtype):
     )
 
 
+# Global-average-pool implementation for the SE gates. The r4 device
+# trace attributed 11.7 ms of the 53.9 ms flagship encoder batch (B=256)
+# to the SE pools compiling as ``convert_reduce_fusion`` (bf16 -> f32
+# VPU reduce); "matmul" performs the same spatial sum as a ones-vector
+# contraction on the MXU with f32 accumulation (identical math, tree
+# summation order). Toggled module-wide so examples/bench_se_pool.py can
+# A/B the full encoder.
+SE_POOL = "reduce"
+
+
+def _global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B, 1, 1, C] spatial mean (SE_POOL selects VPU
+    reduce vs MXU matmul; numerics agree to f32 accumulation order)."""
+    if SE_POOL == "matmul":
+        b, h, w, c = x.shape
+        flat = x.reshape(b, h * w, c)
+        ones = jnp.full((h * w,), 1.0 / (h * w), x.dtype)
+        out = jax.lax.dot_general(
+            ones, flat, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return out.astype(x.dtype)[:, None, None, :]
+    return jnp.mean(x, axis=(1, 2), keepdims=True)
+
+
 class SqueezeExcite(nn.Module):
     """SE gate with reduction relative to the block's input channels."""
 
@@ -58,7 +84,7 @@ class SqueezeExcite(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        pooled = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pooled = _global_avg_pool(x)
         g = nn.Conv(self.rd_channels, (1, 1), dtype=self.dtype, name="conv_reduce")(
             pooled
         )

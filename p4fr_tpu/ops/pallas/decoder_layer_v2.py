@@ -81,22 +81,28 @@ def _kernel(
     w_ff0_ref, b_ff0_ref, w_ff1_ref, b_ff1_ref, ln3_ref,
     # outputs
     out_ref,  # [TB, H] VMEM
-    slot_ref,  # [TB, 2H] VMEM — K/V to scatter at ``pos`` (XLA DUS)
-    # scratch
-    chunk_buf,  # [2, TB, CK, 2H] VMEM ([2, CK, TB, 2H] when tiled)
-    m_buf,  # [TB, HEADS] f32
-    l_buf,  # [TB, HEADS] f32
-    acc_buf,  # [TB, H] f32
-    chunk_sem,  # DMA sem [2]
-    src_buf=None,  # [TB, S, 2H] VMEM scratch (src_hbm mode only)
-    src_sem=None,  # DMA sem (src_hbm mode only)
-    *,
+    slot_ref,  # [TB, 2H] VMEM slot for the XLA DUS — or, when
+    #            ``slot_write``, the ANY-space cache OUTPUT aliased to
+    #            ``cache_hbm`` (the kernel DMAs the slot row itself)
+    # scratch (see ``scratch_shapes`` — composition depends on flags)
+    *scratch,
     head_num: int,
     chunk: int,
     cache_outputs: bool,
     tiled: bool = False,
     src_hbm: bool = False,
+    slot_write: bool = False,
 ):
+    scratch = list(scratch)
+    chunk_buf, m_buf, l_buf, acc_buf, chunk_sem = scratch[:5]
+    del scratch[:5]
+    src_buf = src_sem = None
+    if src_hbm:
+        src_buf, src_sem = scratch[:2]
+        del scratch[:2]
+    slot_buf = slot_sem = None
+    if slot_write:
+        slot_buf, slot_sem = scratch[:2]
     pos = pos_ref[0]
     i = pl.program_id(0)
     cdtype = chunk_buf.dtype  # compute dtype: bf16 on TPU, f32 interpret
@@ -291,7 +297,7 @@ def _kernel(
     )
     out = ln(ff + out.astype(jnp.float32), ln3_ref)
 
-    # ---- slot to scatter (XLA applies the dynamic_update_slice) ----------
+    # ---- cache-slot write-back ------------------------------------------
     if cache_outputs:
         kv_slot = (
             jnp.dot(out, w_qkv[:, hidden:],
@@ -300,8 +306,21 @@ def _kernel(
         )
     else:
         kv_slot = kv_cur
-    slot_ref[:] = kv_slot.astype(slot_ref.dtype)
-    out_ref[:] = out.astype(out_ref.dtype)
+    if slot_write:
+        # in-kernel row DMA into the aliased cache output (r4 trace
+        # finding: the external DUS costs 16.5us/layer/step — a
+        # [B,1,2H] update has L on the SUBLANE dim of the T(8,128)
+        # layout, so XLA read-modify-writes 8-row tiles and layout-
+        # copies the slot first; the direct DMA writes only the row)
+        slot_buf[:] = kv_slot.astype(slot_buf.dtype)
+        dst = slot_ref.at[i, pos] if tiled else slot_ref.at[rows, pos, :]
+        copy = pltpu.make_async_copy(slot_buf, dst, slot_sem)
+        copy.start()
+        out_ref[:] = out.astype(out_ref.dtype)
+        copy.wait()
+    else:
+        slot_ref[:] = kv_slot.astype(slot_ref.dtype)
+        out_ref[:] = out.astype(out_ref.dtype)
 
 
 def scoped_vmem_estimate(
@@ -359,7 +378,8 @@ def pick_v2_config(
             filter_dim=filter_dim, itemsize=itemsize, src_hbm=src_hbm,
         )
 
-    if not fixed_tile and batch % 64 == 0 and 32 in cks:
+    if (not fixed_tile or batch_tile == 64) and batch % 64 == 0 \
+            and 32 in cks:
         # measured fastest PRODUCTION config on v5e at flagship dims:
         # tb=64/ck=32/src_hbm e2e-benches 1746 img/s vs 1591 for
         # tb=32/ck=64 (+9.7%). The auto-pipelined-src variant
@@ -383,7 +403,8 @@ def pick_v2_config(
 @functools.partial(
     jax.jit,
     static_argnames=("head_num", "cache_outputs", "batch_tile", "chunk",
-                     "interpret", "tiled_cache", "src_hbm"),
+                     "interpret", "tiled_cache", "src_hbm",
+                     "slot_in_kernel"),
 )
 def decoder_layer_step_v2(
     x: jnp.ndarray,  # [B, H]
@@ -399,6 +420,7 @@ def decoder_layer_step_v2(
     interpret: bool = False,
     tiled_cache: bool = False,
     src_hbm: bool = False,
+    slot_in_kernel: bool = False,
 ):
     """Flash-decode fused layer step -> (out [B, H], new cache).
 
@@ -445,9 +467,17 @@ def decoder_layer_step_v2(
             shape, lambda i, *_: (0,) * len(shape), memory_space=pltpu.VMEM
         )
 
+    if slot_in_kernel and not tiled_cache:
+        # Mosaic rejects the in-kernel row DMA on the flat [B, L, 2H]
+        # cache: a 1-row slice along L is unaligned to the (8, 128)
+        # HBM tiling (L is the sublane dim) — the same layout fact that
+        # makes the external XLA DUS cost ~16.5us. The tiled
+        # [G, L, TB, 2H] layout slices only untiled leading dims.
+        raise ValueError("slot_in_kernel requires tiled_cache=True")
     kernel = functools.partial(
         _kernel, head_num=head_num, chunk=chunk,
         cache_outputs=cache_outputs, tiled=tiled_cache, src_hbm=src_hbm,
+        slot_write=slot_in_kernel,
     )
     chunk_buf_shape = (
         (2, chunk, tb, 2 * hidden) if tiled_cache
@@ -469,6 +499,22 @@ def decoder_layer_step_v2(
             pltpu.VMEM((tb, s_len, 2 * hidden), src_kv.dtype),
             pltpu.SemaphoreType.DMA,
         ]
+    if slot_in_kernel:
+        scratch += [
+            pltpu.VMEM((tb, 2 * hidden), cache.dtype),
+            pltpu.SemaphoreType.DMA,
+        ]
+        # the second output IS the cache (aliased to input 2 — indices
+        # count the pos scalar, as in fused_decode.py); the kernel DMAs
+        # the slot row, so no XLA DUS (and no [B,2H]->[B,1,2H] layout
+        # copy) runs outside
+        out_specs_1 = pl.BlockSpec(memory_space=pl.ANY)
+        out_shape_1 = jax.ShapeDtypeStruct(cache.shape, cache.dtype)
+        aliases = {2: 1}
+    else:
+        out_specs_1 = batch_spec((2 * hidden,))
+        out_shape_1 = jax.ShapeDtypeStruct((b, 2 * hidden), cache.dtype)
+        aliases = {}
     out, kv_slot = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -496,14 +542,15 @@ def decoder_layer_step_v2(
             ],
             out_specs=[
                 batch_spec((hidden,)),
-                batch_spec((2 * hidden,)),
+                out_specs_1,
             ],
             scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, hidden), x.dtype),
-            jax.ShapeDtypeStruct((b, 2 * hidden), cache.dtype),
+            out_shape_1,
         ],
+        input_output_aliases=aliases,
         interpret=interpret,
     )(
         pos.reshape(1).astype(jnp.int32),
@@ -526,6 +573,8 @@ def decoder_layer_step_v2(
         b_ff1.reshape(1, -1),
         jnp.stack([ln3[0], ln3[1]]),
     )
+    if slot_in_kernel:
+        return out, kv_slot  # kv_slot IS the updated (aliased) cache
     if tiled_cache:
         new_cache = jax.lax.dynamic_update_slice(
             cache,
