@@ -13,6 +13,12 @@ the full encoder with each pooling implementation (models/
 efficientnetv2.py:SE_POOL toggles), so the decision is measured, not
 guessed. Shapes: EfficientNetV2-S stages 3/4/5 mid-channel maps at the
 flagship 256x512 input, B=256.
+
+MEASURED (v5e, B=256, 20 iters, scalar-checksum outputs): full encoder
+55.3 ms with the jnp.mean reduce vs 55.9 ms with the matmul pool — a
+WASH. The convert_reduce_fusion trace lines carry fused neighbouring
+work, not an avoidable convert; SE_POOL stays "reduce" (see
+docs/PERFORMANCE.md round-4 section).
 """
 
 from __future__ import annotations
@@ -112,8 +118,13 @@ def main(argv=None):
                  "dropout": jax.random.PRNGKey(1)},
                 images[:1], text, train=False,
             )
+            # fetch only a scalar checksum: the [B, S, H] src tensor is
+            # ~17 MB and this dev rig's device->host hop is a ~35 MB/s
+            # tunnel — fetching it would time the tunnel, not the chip
             enc = jax.jit(
-                lambda v, im: model.apply(v, im, method="encode")
+                lambda v, im: model.apply(
+                    v, im, method="encode"
+                ).astype(jnp.float32).sum()
             )
             timeit(f"FULL encoder B={args.batch} SE_POOL={mode}",
                    enc, variables, images)

@@ -57,7 +57,9 @@ def _bn(train: bool, name: str, dtype):
 # VPU reduce); "matmul" performs the same spatial sum as a ones-vector
 # contraction on the MXU with f32 accumulation (identical math, tree
 # summation order). Toggled module-wide so examples/bench_se_pool.py can
-# A/B the full encoder.
+# A/B the full encoder. MEASURED a wash e2e on v5e (55.3 vs 55.9 ms
+# @ B=256 — the trace fusions carry neighbouring work, there is no free
+# 11.7 ms): "reduce" stays the default.
 SE_POOL = "reduce"
 
 
