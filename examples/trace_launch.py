@@ -151,6 +151,45 @@ def build_e2e(args):
     return run_full, run_enc
 
 
+def build_beam(args):
+    """The beam bench program: flagship EfficientSATRN lockstep beam
+    (W=3) at production batch — r4 measured it 8.5 ms/step at B=256
+    (156 img/s), ~4x over a rough floor; this trace attributes where
+    the step goes (kernels vs the whole-cache parent gather vs top-k)."""
+    import jax
+    import jax.numpy as jnp
+
+    from p4fr_tpu.data.vocab import Vocab
+    from p4fr_tpu.decoding.beam import make_beam_fn
+    from p4fr_tpu.models.registry import get_network
+    from p4fr_tpu.utils.flags import Flags
+
+    vocab = Vocab.from_files(["p4fr_tpu/configs/tokens.txt"])
+    options = Flags("p4fr_tpu/configs/EfficientSATRN.yaml").get()
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = get_network(options.network, options, vocab, dtype=dtype)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.normal(size=(
+        args.batch, options.input_size.height, options.input_size.width, 3
+    )).astype(np.float32))
+    text = jnp.full((1, 8), vocab.pad_id, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images[:1], text, train=False,
+    )
+    beam_fn = make_beam_fn(
+        model, max_steps=args.steps, beam_width=3, eos_id=vocab.eos_id,
+        kernel="pallas_v2" if on_tpu else "jnp",
+    )
+    fn = jax.jit(beam_fn)
+
+    def run():
+        return fn(variables, images)
+
+    return run
+
+
 def capture(label, run, log_root):
     """Warm up, then trace exactly one jitted invocation."""
     import jax
@@ -300,6 +339,9 @@ def main(argv=None):
     p.add_argument("--e2e", action="store_true",
                    help="trace the FULL flagship greedy program (and the "
                    "encoder alone) instead of the launch probes")
+    p.add_argument("--beam", action="store_true",
+                   help="trace the flagship beam-W3 program (beam.py) "
+                   "and attribute the per-step cost")
     p.add_argument("--quick", action="store_true")
     args = p.parse_args(argv)
 
@@ -318,6 +360,15 @@ def main(argv=None):
             )
         except Exception:
             pass
+
+    if args.beam:
+        run = build_beam(args)
+        xp = capture("beam_w3", run, args.log_root)
+        if args.dump:
+            dump(xp)
+        else:
+            analyze("beam_w3", xp, args.steps, 3)
+        return
 
     if args.e2e:
         run_full, run_enc = build_e2e(args)

@@ -31,6 +31,12 @@ import jax.numpy as jnp
 
 NEG_INF = -1e9
 
+# Slot granularity of the prefix-bounded cache reorder (must divide the
+# KV cache's slot dim for the bounded path to engage; tests patch it to
+# force either path). 64 slots x 64-row tile x 2H bf16 = one ~4 MB
+# chunk at flagship dims.
+SLOT_CHUNK = 64
+
 
 def make_beam_fn(
     model,
@@ -168,13 +174,48 @@ def make_beam_fn(
             parent = idx // V  # [B, W] in 0..W-1
             new_token = (idx % V).astype(jnp.int32)
 
-            # gather beam state by parent
+            # gather beam state by parent. The r4 device trace attributed
+            # ~50% of the beam step to this reorder when done as one
+            # whole-cache jnp.take: each KV cache is [B*W, cache_len, 2H]
+            # (~100 MB at flagship B=256) but only slots 0..t are
+            # written. Reorder those in place, chunk by chunk, under a
+            # fori_loop whose trip count grows with t — and skip the
+            # traffic entirely when every parent is its own beam (common
+            # once beams stabilize; always true after a sample's beams
+            # all finish, since pad-only continuations preserve the
+            # already-sorted score order).
             parent_flat = (
                 parent + jnp.arange(B, dtype=parent.dtype)[:, None] * W
             ).reshape(BW)
-            cache = jax.tree_util.tree_map(
-                lambda a: jnp.take(a, parent_flat, axis=0), cache
+            identity = jnp.all(
+                parent_flat == jnp.arange(BW, dtype=parent_flat.dtype)
             )
+
+            slot_chunk = SLOT_CHUNK
+
+            def gather_leaf(a):
+                if not (a.ndim >= 2 and a.shape[0] == BW):
+                    return a
+                slot_len = a.shape[1] if a.ndim == 3 else 0
+                if slot_len >= 2 * slot_chunk and slot_len % slot_chunk == 0:
+                    n = t // slot_chunk + 1  # chunks covering slots 0..t
+
+                    def chunk_body(i, acc):
+                        ch = jax.lax.dynamic_slice_in_dim(
+                            acc, i * slot_chunk, slot_chunk, axis=1
+                        )
+                        ch = jnp.take(ch, parent_flat, axis=0)
+                        return jax.lax.dynamic_update_slice_in_dim(
+                            acc, ch, i * slot_chunk, axis=1
+                        )
+
+                    return jax.lax.fori_loop(0, n, chunk_body, a)
+                return jnp.take(a, parent_flat, axis=0)
+
+            del identity  # measured: a lax.cond skip forces whole-cache
+            # copies through the conditional's output buffers — costlier
+            # than the gather it avoids
+            cache = jax.tree_util.tree_map(gather_leaf, cache)
             was_finished = jnp.take_along_axis(finished, parent, axis=1)
             new_finished = was_finished | (new_token == eos_id)
             new_lengths = (

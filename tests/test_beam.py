@@ -214,3 +214,25 @@ def test_beam_kernel_paths_agree():
             model, max_steps=T, beam_width=w, eos_id=1, kernel="jnp"
         ))(variables, images)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_beam_bounded_gather_matches_full(monkeypatch):
+    """The prefix-bounded chunked cache reorder (beam.py gather_leaf,
+    engaged when the cache slot dim is >= 2*SLOT_CHUNK) must be
+    token-identical to the whole-cache jnp.take it replaces. max_steps
+    =128 makes the jnp-path cache [BW, 128, 2H], which takes the
+    chunked fori_loop at the default SLOT_CHUNK=64; patching SLOT_CHUNK
+    above the cache length forces the legacy full gather."""
+    from p4fr_tpu.decoding import beam as beam_mod
+
+    model, variables, images = _setup()
+    steps = 128
+    assert beam_mod.SLOT_CHUNK == 64  # default engages the bounded path
+    bounded = np.asarray(jax.jit(make_beam_fn(
+        model, max_steps=steps, beam_width=3, eos_id=1, kernel="jnp"
+    ))(variables, images))
+    monkeypatch.setattr(beam_mod, "SLOT_CHUNK", 1024)
+    full = np.asarray(jax.jit(make_beam_fn(
+        model, max_steps=steps, beam_width=3, eos_id=1, kernel="jnp"
+    ))(variables, images))
+    np.testing.assert_array_equal(bounded, full)
