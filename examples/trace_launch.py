@@ -190,6 +190,62 @@ def build_beam(args):
     return run
 
 
+def build_train(args):
+    """The bench train program: flagship teacher-forced fwd+bwd+AdamW at
+    B=64 (bench.py --train). Used to attribute the 89.6 ms step — in
+    particular whether XLA executes the EfficientNetV2 depthwise-conv
+    weight gradients as dense convs (cost_analysis counts them 61x the
+    forward in the CPU micro-test)."""
+    import jax
+    import jax.numpy as jnp
+
+    from p4fr_tpu.data.vocab import Vocab
+    from p4fr_tpu.models.registry import get_network
+    from p4fr_tpu.train.steps import (
+        TrainState, build_optimizer, make_train_step,
+    )
+    from p4fr_tpu.utils.flags import Flags
+
+    vocab = Vocab.from_files(["p4fr_tpu/configs/tokens.txt"])
+    options = Flags("p4fr_tpu/configs/EfficientSATRN.yaml").get()
+    on_tpu = jax.default_backend() == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    model = get_network(options.network, options, vocab, dtype=dtype)
+    rng = np.random.default_rng(0)
+    tb = 64
+    images = jnp.asarray(rng.normal(size=(
+        tb, options.input_size.height, options.input_size.width, 3
+    )).astype(np.float32))
+    labels = jnp.asarray(
+        rng.integers(0, 200, size=(tb, 64)).astype(np.int32))
+    text = jnp.full((1, 8), vocab.pad_id, jnp.int32)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images[:1], text, train=False,
+    )
+    optimizer = build_optimizer("AdamW", 5e-4, weight_decay=1e-6,
+                                max_grad_norm=2.0)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=optimizer.init(variables["params"]),
+        step=jnp.asarray(0, jnp.int32),
+    )
+    train_step = make_train_step(model, optimizer, vocab.pad_id)
+    key = jax.random.PRNGKey(0)
+
+    holder = {"state": state}
+
+    def run():
+        new_state, metrics, _ = train_step(
+            holder["state"], images, labels, key, teacher_forced=True
+        )
+        holder["state"] = new_state
+        return metrics["loss"]
+
+    return run
+
+
 def capture(label, run, log_root):
     """Warm up, then trace exactly one jitted invocation."""
     import jax
@@ -342,6 +398,9 @@ def main(argv=None):
     p.add_argument("--beam", action="store_true",
                    help="trace the flagship beam-W3 program (beam.py) "
                    "and attribute the per-step cost")
+    p.add_argument("--train", action="store_true",
+                   help="trace the flagship B=64 teacher-forced train "
+                   "step (fwd+bwd+AdamW) and attribute it")
     p.add_argument("--quick", action="store_true")
     args = p.parse_args(argv)
 
@@ -360,6 +419,15 @@ def main(argv=None):
             )
         except Exception:
             pass
+
+    if args.train:
+        run = build_train(args)
+        xp = capture("train_step", run, args.log_root)
+        if args.dump:
+            dump(xp)
+        else:
+            analyze("train_step", xp, 1, 3)
+        return
 
     if args.beam:
         run = build_beam(args)
