@@ -510,25 +510,21 @@ def main(argv=None):
     if args.decode == "beam":
         from p4fr_tpu.decoding.beam import make_beam_fn
 
-        if args.early_stop:
-            # random weights never emit <EOS>, so the all-finished
-            # while_loop exit can't trigger: dropping the label keeps the
-            # emitted JSON honest (a labeled early-stop number that
-            # silently burned all steps would corrupt cross-round
-            # comparisons). Real-data beam DOES exit early (early_stop_eos
-            # below enables the while_loop).
-            print("# --early-stop: beam has no stop_override injection "
-                  "hook; label dropped (all steps burn on random weights)",
-                  file=sys.stderr)
-            args.early_stop = False
         beam_kernel = "pallas_v2" if args.pallas_v2 else "jnp"
+        # with --early-stop, per-sample stops flow in as a runtime
+        # argument (beam.py stop_override="arg"): random weights never
+        # emit <EOS>, so the all-finished while_loop exit benches on the
+        # same synthetic length distribution the greedy hook uses
+        stop_sets = _synthetic_stop_sets(args, rng) if args.early_stop \
+            else None
         decode_fn = make_beam_fn(
             model, max_steps=args.steps, beam_width=args.beam_width,
             eos_id=vocab.eos_id, kernel=beam_kernel,
+            early_stop=args.early_stop,
+            stop_override="arg" if args.early_stop else None,
         )
         fn = jax.jit(decode_fn)
         path_label = f"beam-W{args.beam_width} ({beam_kernel}), "
-        stop_sets = None
         return _run_decode_bench(args, jax, jnp, fn, variables, images,
                                  u8_batches, dtype, tables, path_label,
                                  stop_sets)

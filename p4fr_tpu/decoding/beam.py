@@ -48,6 +48,7 @@ def make_beam_fn(
     from_memory: bool = False,
     kernel: str = "auto",
     early_stop: bool = False,
+    stop_override=None,
 ) -> Callable:
     """Build fn(variables, images_or_src) -> tokens [B, max_steps].
 
@@ -64,10 +65,24 @@ def make_beam_fn(
     EfficientSATRN.py:758-764). Token-identical to the full scan —
     finished beams only ever extend with zero-cost <PAD>, which is
     exactly what the unfilled tail of the preallocated buffers holds.
+
+    ``stop_override`` (requires ``early_stop``): benchmarking hook
+    mirroring the greedy one (fast_step.py): every beam of sample ``i``
+    is force-finished once ``t >= stops[i]``, so the all-finished exit
+    fires on a synthetic length distribution even with random weights
+    (which never emit <EOS>). Pass the string ``"arg"`` to take the
+    per-sample stop vector as the fn's LAST positional argument (one
+    compiled program serves many length distributions).
     """
     sos_id = model.sos_id
     pad_id = model.pad_id if pad_id is None else pad_id
     W = beam_width
+    if stop_override is not None and not early_stop:
+        raise ValueError(
+            "stop_override requires early_stop=True (the fixed-length "
+            "scan would silently ignore the injected stop steps)"
+        )
+    stops_as_arg = isinstance(stop_override, str) and stop_override == "arg"
     from p4fr_tpu.decoding.fast_step import resolve_kernel
 
     kernel = resolve_kernel(kernel)
@@ -75,7 +90,12 @@ def make_beam_fn(
         model, "supports_fast_decode", False
     )
 
-    def fn(variables, inputs):
+    def fn(variables, inputs, *rest):
+        stops = stop_override
+        if stops_as_arg:
+            (stops,) = rest
+        elif rest:
+            raise TypeError("unexpected extra positional arguments")
         if from_memory:
             src = inputs
         else:
@@ -248,6 +268,12 @@ def make_beam_fn(
                 (token, cache, scores, lengths, finished), (tk, pr) = body(
                     (token, cache, scores, lengths, finished), t
                 )
+                if stops is not None:
+                    # benchmarking hook: force-finish every beam of
+                    # sample i at t >= stops[i] (see docstring)
+                    finished = finished | (
+                        t >= jnp.asarray(stops)
+                    )[:, None]
                 tbuf = jax.lax.dynamic_update_slice(
                     tbuf, tk[None], (t, 0, 0)
                 )

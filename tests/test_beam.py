@@ -236,3 +236,28 @@ def test_beam_bounded_gather_matches_full(monkeypatch):
         model, max_steps=steps, beam_width=3, eos_id=1, kernel="jnp"
     ))(variables, images))
     np.testing.assert_array_equal(bounded, full)
+
+
+def test_beam_stop_override_forces_finish():
+    """stop_override="arg" (benchmark hook): stops past max_steps are a
+    no-op (token-identical to plain early_stop); a stop at step s
+    freezes every beam of that sample, so positions > s backtrace to
+    <PAD> while position s keeps the model's real token."""
+    model, variables, images = _setup()
+    plain = jax.jit(make_beam_fn(
+        model, max_steps=T, beam_width=3, eos_id=1, early_stop=True
+    ))
+    inj = jax.jit(make_beam_fn(
+        model, max_steps=T, beam_width=3, eos_id=1, early_stop=True,
+        stop_override="arg",
+    ))
+    big = jnp.full((B,), T + 5, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(plain(variables, images)),
+        np.asarray(inj(variables, images, big)),
+    )
+    stops = [2, 4]
+    out = np.asarray(inj(variables, images, jnp.asarray(stops, jnp.int32)))
+    for i, s in enumerate(stops):
+        assert (out[i, s + 1:] == model.pad_id).all()
+        assert out[i, s] != model.pad_id
