@@ -115,7 +115,7 @@ def build_e2e(args):
     from p4fr_tpu.utils.flags import Flags
 
     vocab = Vocab.from_files(["p4fr_tpu/configs/tokens.txt"])
-    options = Flags("p4fr_tpu/configs/EfficientSATRN.yaml").get()
+    options = Flags(f"p4fr_tpu/configs/{args.network}.yaml").get()
     if args.quick:
         options.input_size.height = 64
         options.input_size.width = 128
@@ -380,6 +380,8 @@ def analyze(label, xplane_path, steps, layers):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--network", default="EfficientSATRN",
+                   help="config for --e2e (e.g. SWIN at --batch 32)")
     p.add_argument("--steps", type=int, default=120)
     p.add_argument("--hidden", type=int, default=256)
     p.add_argument("--heads", type=int, default=8)

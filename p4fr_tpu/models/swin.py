@@ -93,6 +93,25 @@ class DropPath(nn.Module):
         return jnp.where(mask, x / keep, 0.0)
 
 
+# Window-attention implementation switch: "auto" takes the fused Pallas
+# kernel (ops/pallas/swin_attention.py — scores/softmax stay in VMEM; the
+# r4 trace showed the XLA path materializes ~27 ms of [nB,h,144,144]
+# score tensors per B=32 encoder batch) whenever dropout is inactive;
+# "jnp" forces the reference-shaped XLA path (training with attn_drop,
+# oracle tests). Module-wide so benches can A/B the full encoder.
+WINDOW_ATTN = "auto"
+
+
+def _fused_attention_applies(deterministic: bool, attn_drop: float) -> bool:
+    if WINDOW_ATTN == "jnp":
+        return False
+    if not (deterministic or attn_drop == 0.0):
+        return False  # active attention dropout needs the jnp path
+    import jax
+
+    return jax.default_backend() == "tpu" or WINDOW_ATTN == "fused_interpret"
+
+
 class WindowAttention(nn.Module):
     """W-MSA with relative position bias (SWIN.py:84-209 semantics)."""
 
@@ -113,10 +132,7 @@ class WindowAttention(nn.Module):
         nb, n, c = x.shape
         head_dim = self.dim // self.num_heads
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(nb, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [nB, n, h, d]
         scale = head_dim ** -0.5
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
 
         table = self.param(
             "relative_position_bias_table",
@@ -125,16 +141,36 @@ class WindowAttention(nn.Module):
         )
         idx = relative_position_index(self.window).reshape(-1)
         bias = table[idx].reshape(n, n, self.num_heads)
-        attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
 
-        if mask is not None:
-            nw = mask.shape[0]
-            attn = attn.reshape(nb // nw, nw, self.num_heads, n, n)
-            attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
-            attn = attn.reshape(nb, self.num_heads, n, n)
-        attn = nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(nb, n, c)
+        if _fused_attention_applies(deterministic, self.attn_drop):
+            # fused path: the raw [nB, n, 3C] projection output goes
+            # straight into the kernel (no q/k/v extraction copies, no
+            # q*scale copy; scores/bias/mask/softmax/AV run in VMEM)
+            from p4fr_tpu.ops.pallas.swin_attention import (
+                fused_window_attention,
+            )
+
+            out = fused_window_attention(
+                qkv, bias.transpose(2, 0, 1), mask,
+                heads=self.num_heads, scale=scale,
+                interpret=WINDOW_ATTN == "fused_interpret",
+            )
+        else:
+            qkv = qkv.reshape(nb, n, 3, self.num_heads, head_dim)
+            q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+            attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+            attn = attn + bias.transpose(2, 0, 1)[None].astype(attn.dtype)
+
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(nb // nw, nw, self.num_heads, n, n)
+                attn = attn + mask[None, :, None, :, :].astype(attn.dtype)
+                attn = attn.reshape(nb, self.num_heads, n, n)
+            attn = nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.attn_drop)(
+                attn, deterministic=deterministic
+            )
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(nb, n, c)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
