@@ -160,8 +160,61 @@ def precompute_cross_kv(fast: FastDecoder, src: jnp.ndarray):
     )
 
 
+def quantize_rows(x: jnp.ndarray, eps: float = 1e-8):
+    """Symmetric per-row int8: x [..., D] -> (int8 [..., D], scale [...]).
+
+    round-half-even (jnp.round) — the jnp twin and the Pallas kernel
+    share this exact function, so quantized parity tests are exact."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1), eps) / 127.0
+    i8 = jnp.clip(
+        jnp.round(xf / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    return i8, scale
+
+
+def precompute_cross_kv_int8(fast: FastDecoder, src: jnp.ndarray):
+    """Per-layer int8 cross K/V: ((i8 [B,S,2H], scale [B,2,S]), ...).
+
+    OPT-IN serving mode (``kv_quant="int8"``): halves the per-step
+    cross-K/V HBM re-read — the single largest decode stream (47% of
+    traffic at flagship shapes, docs/PERFORMANCE.md r4 roofline). K and
+    V are quantized separately per (batch, position) row; the kernel
+    folds the k-scale into the scores and the v-scale into the
+    probabilities, so the dequantized tensor never materializes."""
+    out = []
+    for layer in fast.layers:
+        k = src @ layer.w_ck + layer.b_ck
+        v = src @ layer.w_cv + layer.b_cv
+        ki, sk = quantize_rows(k)
+        vi, sv = quantize_rows(v)
+        out.append((
+            jnp.concatenate([ki, vi], axis=-1),
+            jnp.stack([sk, sv], axis=1),  # [B, 2, S] f32
+        ))
+    return tuple(out)
+
+
+def dequantize_cross_kv(cross_kv, dtype=None):
+    """Inverse of ``precompute_cross_kv_int8`` (for the jnp fallback and
+    parity tests). Passes non-quantized entries through unchanged."""
+    out = []
+    for ckv in cross_kv:
+        if not isinstance(ckv, tuple):
+            out.append(ckv)
+            continue
+        i8, scale = ckv
+        h = i8.shape[-1] // 2
+        k = i8[..., :h].astype(jnp.float32) * scale[:, 0, :, None]
+        v = i8[..., h:].astype(jnp.float32) * scale[:, 1, :, None]
+        kv = jnp.concatenate([k, v], axis=-1)
+        out.append(kv.astype(dtype) if dtype is not None else kv)
+    return tuple(out)
+
+
 def init_fast_cache(
-    fast: FastDecoder, batch: int, max_len: int, *, tiled_tile: int = 0
+    fast: FastDecoder, batch: int, max_len: int, *, tiled_tile: int = 0,
+    quant: bool = False,
 ) -> Tuple[jnp.ndarray, ...]:
     hidden = fast.w_gen.shape[0]
     if tiled_tile:
@@ -170,6 +223,19 @@ def init_fast_cache(
         shape = tiled_cache_shape(batch, max_len, hidden, tiled_tile)
     else:
         shape = (batch, max_len, 2 * hidden)
+    if quant:
+        # int8 self-cache (kv_quant="int8_cache"): per-layer
+        # ([G, L, TB, 2H] int8, [G, L, 2, TB] f32 scale) pairs; tiled
+        # layout only — the scale chunks ride the same
+        # contiguous-leading-dim DMA as the cache chunks
+        if not tiled_tile:
+            raise ValueError("quantized cache requires tiled_tile")
+        g, L, tb, _ = shape
+        return tuple(
+            (jnp.zeros(shape, jnp.int8),
+             jnp.zeros((g, L, 2, tb), jnp.float32))
+            for _ in fast.layers
+        )
     return tuple(
         jnp.zeros(shape, fast.w_gen.dtype) for _ in fast.layers
     )
@@ -320,25 +386,37 @@ def pallas_decode_step_v2(
     hidden = x.shape[-1]
     new_cache = []
     for layer, kv_cache, ckv in zip(fast.layers, cache, cross_kv):
-        tiled = kv_cache.ndim == 4
+        quant = isinstance(ckv, tuple)  # (int8 [B,S,2H], scale [B,2,S])
+        ckv_arr, src_scale = ckv if quant else (ckv, None)
+        cquant = isinstance(kv_cache, tuple)  # (int8 cache, f32 scales)
+        cache_arr = kv_cache[0] if cquant else kv_cache
+        tiled = cache_arr.ndim == 4
         cfg = pick_v2_config(
-            batch=x.shape[0], hidden=hidden, s_len=ckv.shape[1],
+            batch=x.shape[0], hidden=hidden, s_len=ckv_arr.shape[1],
             filter_dim=layer.w_ff0.shape[1],
-            itemsize=jnp.dtype(kv_cache.dtype).itemsize,
-            batch_tile=kv_cache.shape[2] if tiled else batch_tile,
-            chunk=chunk, max_len=kv_cache.shape[1], fixed_tile=tiled,
+            itemsize=jnp.dtype(x.dtype).itemsize if cquant
+            else jnp.dtype(cache_arr.dtype).itemsize,
+            batch_tile=cache_arr.shape[2] if tiled else batch_tile,
+            chunk=chunk, max_len=cache_arr.shape[1], fixed_tile=tiled,
+            src_quant=quant, cache_quant=cquant,
         )
         if cfg is None:
+            if cquant:
+                raise ValueError(
+                    "no v2 kernel config fits scoped VMEM for the "
+                    "quantized cache; use kv_quant='int8' (cross only)"
+                )
             if tiled:
                 raise ValueError(
                     "no v2 kernel config fits scoped VMEM for "
-                    f"hidden={hidden} s_len={ckv.shape[1]} at the tiled "
-                    "cache's baked tile; allocate an untiled cache"
+                    f"hidden={hidden} s_len={ckv_arr.shape[1]} at the "
+                    "tiled cache's baked tile; allocate an untiled cache"
                 )
             # degrade THIS layer to the (numerically identical-class)
             # jnp step rather than failing the whole decode
             x, kv_cache = jnp_layer_step(
-                layer, x, pos, kv_cache, ckv,
+                layer, x, pos, kv_cache,
+                dequantize_cross_kv((ckv,), dtype=x.dtype)[0],
                 head_num=fast.head_num,
                 cache_outputs=fast.cache_outputs,
             )
@@ -346,7 +424,8 @@ def pallas_decode_step_v2(
             continue
         tb, ck, src_hbm = cfg
         x, kv_cache = decoder_layer_step_v2(
-            x, pos, kv_cache, ckv, layer_weight_tuple(layer),
+            x, pos, kv_cache, ckv_arr, layer_weight_tuple(layer),
+            src_scale,
             head_num=fast.head_num, cache_outputs=fast.cache_outputs,
             batch_tile=tb, chunk=ck, interpret=interpret,
             tiled_cache=tiled, src_hbm=src_hbm,
@@ -456,6 +535,7 @@ def make_fast_greedy_fn(
     batch_tile: int = 8,
     stop_override: Optional[jnp.ndarray] = None,
     tiled_cache="auto",
+    kv_quant: str = "none",
 ):
     """Greedy decode over the fast step.
 
@@ -474,6 +554,18 @@ def make_fast_greedy_fn(
     while_loop on a synthetic realistic length distribution without a
     trained model (random weights rarely emit <EOS>). Production decode
     leaves it None — outputs are then exactly the fixed-length decode's.
+
+    ``kv_quant``: OPT-IN numerics changes for serving (never default):
+    "int8" quantizes the per-layer cross-K/V to int8 with per-(row,
+    position) scales (precompute_cross_kv_int8) — halves the dominant
+    decode HBM stream (47% of traffic, docs/PERFORMANCE.md r4
+    roofline); "int8_cache" additionally stores the self-attention KV
+    cache in int8 (+per-slot scales, tiled layout) — halves the
+    second-largest stream too. The Pallas v2 path consumes the int8
+    tensors directly; the jnp paths dequantize the cross-K/V once
+    outside the loop (same quantization error, no bandwidth win — they
+    exist so the numerics class is testable on CPU) and keep the
+    self-cache in model dtype.
 
     ``tiled_cache``: "auto" (default) allocates the tile-contiguous
     [G, L, TB=64, 2H] KV cache whenever the batch fills 64-row tiles and
@@ -549,7 +641,24 @@ def make_fast_greedy_fn(
             batch = ((b0 + 15) // 16) * 16
             if batch != b0:
                 src = jnp.pad(src, ((0, batch - b0), (0, 0), (0, 0)))
-        cross_kv = precompute_cross_kv(fast, src.astype(fast.w_gen.dtype))
+        if kv_quant in ("int8", "int8_cache"):
+            cross_kv = precompute_cross_kv_int8(
+                fast, src.astype(fast.w_gen.dtype)
+            )
+            if not use_pallas_v2:
+                # reproduce the quantization numerics without the
+                # bandwidth win (CPU tests / tiny models); the int8
+                # self-cache exists only in the Pallas kernel, so
+                # int8_cache degrades to cross-only there
+                cross_kv = dequantize_cross_kv(
+                    cross_kv, dtype=fast.w_gen.dtype
+                )
+        elif kv_quant != "none":
+            raise ValueError(f"unknown kv_quant {kv_quant!r}")
+        else:
+            cross_kv = precompute_cross_kv(
+                fast, src.astype(fast.w_gen.dtype)
+            )
         tile = 0
         if use_pallas_v2:
             if tiled_cache == "auto":
@@ -571,12 +680,23 @@ def make_fast_greedy_fn(
                     itemsize=jnp.dtype(fast.w_gen.dtype).itemsize,
                     batch_tile=64, chunk=32, max_len=cache_len,
                     fixed_tile=True,
+                    src_quant=kv_quant in ("int8", "int8_cache"),
+                    cache_quant=kv_quant == "int8_cache",
                 )
                 if cfg == (64, 32, True):
                     tile = 64
             elif tiled_cache:
                 tile = 32
-        cache = init_fast_cache(fast, batch, cache_len, tiled_tile=tile)
+            if kv_quant == "int8_cache" and not tile:
+                # the int8 self-cache requires the tiled layout; fall
+                # back to the smallest sublane-aligned tile when the
+                # flagship tile didn't engage (batch is already padded
+                # to a multiple of 16 above)
+                tile = 16
+        cache = init_fast_cache(
+            fast, batch, cache_len, tiled_tile=tile,
+            quant=kv_quant == "int8_cache" and use_pallas_v2,
+        )
         token0 = jnp.full((batch,), sos_id, jnp.int32)
 
         if early_stop_eos is not None:

@@ -71,41 +71,63 @@ def _head_indicator(hidden: int, head_num: int):
 def _kernel(
     # scalar prefetch
     pos_ref,  # [1] int32
-    # inputs
+    # inputs (``cache_scale_hbm`` / ``src_scale_ref`` present only when
+    # ``cache_quant`` / ``src_quant``)
     x_ref,  # [TB, H] VMEM
-    cache_hbm,  # [B, L, 2H] ANY
-    src_kv_ref,  # [TB, S, 2H] VMEM, or [B, S, 2H] ANY when src_hbm
-    w_qkv_ref, b_qkv_ref,
-    w_out_ref, b_out_ref, ln1_ref,
-    w_q2_ref, b_q2_ref, w_out2_ref, b_out2_ref, ln2_ref,
-    w_ff0_ref, b_ff0_ref, w_ff1_ref, b_ff1_ref, ln3_ref,
-    # outputs
-    out_ref,  # [TB, H] VMEM
-    slot_ref,  # [TB, 2H] VMEM slot for the XLA DUS — or, when
-    #            ``slot_write``, the ANY-space cache OUTPUT aliased to
-    #            ``cache_hbm`` (the kernel DMAs the slot row itself)
-    # scratch (see ``scratch_shapes`` — composition depends on flags)
-    *scratch,
+    cache_hbm,  # [B, L, 2H] ANY (int8 [G, L, TB, 2H] when cache_quant)
+    *rest,
     head_num: int,
     chunk: int,
     cache_outputs: bool,
     tiled: bool = False,
     src_hbm: bool = False,
     slot_write: bool = False,
+    src_quant: bool = False,
+    cache_quant: bool = False,
 ):
-    scratch = list(scratch)
+    rest = list(rest)
+    cache_scale_hbm = rest.pop(0) if cache_quant else None  # [G,L,2,TB] ANY
+    src_kv_ref = rest.pop(0)  # [TB, S, 2H] VMEM, or [B, S, 2H] ANY (src_hbm)
+    src_scale_ref = rest.pop(0) if src_quant else None
+    (w_qkv_ref, b_qkv_ref,
+     w_out_ref, b_out_ref, ln1_ref,
+     w_q2_ref, b_q2_ref, w_out2_ref, b_out2_ref, ln2_ref,
+     w_ff0_ref, b_ff0_ref, w_ff1_ref, b_ff1_ref, ln3_ref,
+     ) = rest[:15]
+    n_out = 3 if cache_quant else 2
+    # outputs:
+    # - out_ref [TB, H] VMEM
+    # - slot_ref [TB, 2H] VMEM slot for the XLA DUS — or, when
+    #   ``slot_write``, the ANY-space cache OUTPUT aliased to
+    #   ``cache_hbm`` (the kernel DMAs the slot row itself)
+    # - slot_scale_ref [1, 2, TB] (cache_quant only)
+    out_ref, slot_ref = rest[15:17]
+    slot_scale_ref = rest[17] if cache_quant else None
+    # scratch (see ``scratch_shapes`` — composition depends on flags)
+    scratch = rest[15 + n_out:]
     chunk_buf, m_buf, l_buf, acc_buf, chunk_sem = scratch[:5]
     del scratch[:5]
+    cscale_buf = cscale_sem = None
+    if cache_quant:
+        cscale_buf, cscale_sem = scratch[:2]
+        del scratch[:2]
     src_buf = src_sem = None
+    src_scale_buf = src_scale_sem = None
     if src_hbm:
         src_buf, src_sem = scratch[:2]
         del scratch[:2]
+        if src_quant:
+            src_scale_buf, src_scale_sem = scratch[:2]
+            del scratch[:2]
     slot_buf = slot_sem = None
     if slot_write:
         slot_buf, slot_sem = scratch[:2]
     pos = pos_ref[0]
     i = pl.program_id(0)
-    cdtype = chunk_buf.dtype  # compute dtype: bf16 on TPU, f32 interpret
+    # compute dtype: bf16 on TPU, f32 interpret (x carries the model
+    # dtype; the cache may be int8 under quantization, so it no longer
+    # defines the compute dtype)
+    cdtype = x_ref.dtype
     x = x_ref[:].astype(cdtype)
     tb, hidden = x.shape
     temp = jnp.float32(hidden) ** 0.5
@@ -119,6 +141,11 @@ def _kernel(
             src_kv_ref.at[rows], src_buf, src_sem
         )
         src_copy.start()
+        if src_quant:
+            src_scale_copy = pltpu.make_async_copy(
+                src_scale_ref.at[rows], src_scale_buf, src_scale_sem
+            )
+            src_scale_copy.start()
     seg = _head_indicator(hidden, head_num).astype(cdtype)  # [H, heads]
     seg_t = seg.T  # [heads, H]
 
@@ -187,29 +214,55 @@ def _kernel(
             chunk_sem.at[slot],
         )
 
+    def cscale_dma(slot, c):
+        start = pl.multiple_of(c * chunk, chunk)
+        return pltpu.make_async_copy(
+            cache_scale_hbm.at[i, pl.ds(start, chunk), :, :],
+            cscale_buf.at[slot],
+            cscale_sem.at[slot],
+        )
+
+    def start_chunk(slot, c):
+        chunk_dma(slot, c).start()
+        if cache_quant:
+            cscale_dma(slot, c).start()
+
+    def wait_chunk(slot, c):
+        chunk_dma(slot, c).wait()
+        if cache_quant:
+            cscale_dma(slot, c).wait()
+
     num_chunks = pl.cdiv(pos, chunk)  # strictly-before-pos prefix
 
     @pl.when(num_chunks > 0)
     def _():
-        chunk_dma(0, 0).start()
+        start_chunk(0, 0)
 
     def chunk_body(c, _):
         @pl.when(c + 1 < num_chunks)
         def _():
-            chunk_dma((c + 1) % 2, c + 1).start()
+            start_chunk((c + 1) % 2, c + 1)
 
         slot = c % 2
-        chunk_dma(slot, c).wait()
+        wait_chunk(slot, c)
         m_old = m_buf[:]
         if tiled:
             # time-major compute: chunk axis leads, no transposes needed
-            k = chunk_buf[slot, :, :, :hidden]  # [CK, TB, H]
-            v = chunk_buf[slot, :, :, hidden:]
+            k = chunk_buf[slot, :, :, :hidden].astype(cdtype)  # [CK, TB, H]
+            v = chunk_buf[slot, :, :, hidden:].astype(cdtype)
             e = q[None, :, :] * k  # [CK, TB, H]
             s = jnp.dot(
                 e.reshape(chunk * tb, hidden), seg,
                 preferred_element_type=jnp.float32,
             ).reshape(chunk, tb, head_num) / temp
+            if cache_quant:
+                # int8 cache rows: fold the per-(position, row) k-scale
+                # into the scores, the v-scale into the probabilities
+                # (AFTER the softmax-mass accumulation — l tracks the
+                # true softmax weights)
+                sk = cscale_buf[slot, :, 0, :]  # [CK, TB] f32
+                sv = cscale_buf[slot, :, 1, :]
+                s = s * sk[:, :, None]
             t_idx = jax.lax.broadcasted_iota(
                 jnp.int32, (chunk, tb, head_num), 0
             )
@@ -220,6 +273,8 @@ def _kernel(
             p = jnp.exp(s - m_new[None, :, :])
             p = jnp.where(banned, 0.0, p)
             l_buf[:] = l_buf[:] * corr + jnp.sum(p, axis=0)
+            if cache_quant:
+                p = p * sv[:, :, None]
             p_wide = jnp.dot(
                 p.astype(cdtype).reshape(chunk * tb, head_num), seg_t,
                 preferred_element_type=jnp.float32,
@@ -268,14 +323,29 @@ def _kernel(
     if src_hbm:
         src_copy.wait()
         src = src_buf
+        if src_quant:
+            src_scale_copy.wait()
+            scl = src_scale_buf
     else:
         src = src_kv_ref
+        if src_quant:
+            scl = src_scale_ref
     ck = src[:, :, :hidden].astype(cdtype)
     cv = src[:, :, hidden:].astype(cdtype)
     s2 = seg_scores(q2, ck)  # [TB, S, heads] f32
+    if src_quant:
+        # int8 src K/V with per-(row, position) scales [TB, 2, S]: the
+        # k-scale folds into the scores AFTER the segment-sum (score =
+        # sk * sum_d q_d*k8_d), the v-scale into the probabilities
+        # BEFORE the weighted sum — both exact reassociations, so the
+        # MXU contractions stay int8-fed bf16 and the dequantized K/V
+        # never materializes
+        s2 = s2 * scl[:, 0, :].astype(jnp.float32)[:, :, None]
     s2 = s2 - jnp.max(s2, axis=1, keepdims=True)
     p2 = jnp.exp(s2)
     p2 = p2 / jnp.sum(p2, axis=1, keepdims=True)
+    if src_quant:
+        p2 = p2 * scl[:, 1, :].astype(jnp.float32)[:, :, None]
     att2 = seg_weighted_sum(p2, cv).astype(cdtype)
     att2 = (
         jnp.dot(att2, w_out2_ref[:].astype(cdtype),
@@ -306,7 +376,21 @@ def _kernel(
         )
     else:
         kv_slot = kv_cur
-    if slot_write:
+    if cache_quant:
+        # quantize the slot row per (row, half): int8 values out through
+        # slot_ref, f32 scales through slot_scale_ref (both written back
+        # by external DUSes on untiled leading dims — cheap on the tiled
+        # layout, same as the bf16 path)
+        k_half = kv_slot[:, :hidden]
+        v_half = kv_slot[:, hidden:]
+        sk_slot = jnp.maximum(jnp.max(jnp.abs(k_half), -1), 1e-8) / 127.0
+        sv_slot = jnp.maximum(jnp.max(jnp.abs(v_half), -1), 1e-8) / 127.0
+        k8 = jnp.clip(jnp.round(k_half / sk_slot[:, None]), -127, 127)
+        v8 = jnp.clip(jnp.round(v_half / sv_slot[:, None]), -127, 127)
+        slot_ref[:] = jnp.concatenate([k8, v8], axis=-1).astype(jnp.int8)
+        slot_scale_ref[:] = jnp.stack([sk_slot, sv_slot])[None]
+        out_ref[:] = out.astype(out_ref.dtype)
+    elif slot_write:
         # in-kernel row DMA into the aliased cache output (r4 trace
         # finding: the external DUS costs 16.5us/layer/step — a
         # [B,1,2H] update has L on the SUBLANE dim of the T(8,128)
@@ -326,6 +410,7 @@ def _kernel(
 def scoped_vmem_estimate(
     *, batch_tile: int, chunk: int, hidden: int, s_len: int,
     filter_dim: int, itemsize: int, src_hbm: bool,
+    src_quant: bool = False, cache_quant: bool = False,
 ) -> int:
     """Conservative scoped-VMEM demand (bytes) of one kernel instance.
 
@@ -335,8 +420,17 @@ def scoped_vmem_estimate(
     measured datapoint (SwinTRN dims tb=32/ck=64: estimate 31.9M vs the
     compiler's reported 28.6M — ~10% conservative)."""
     tb, two_h = batch_tile, 2 * hidden
-    src = tb * s_len * two_h * itemsize * (1 if src_hbm else 2)
-    chunk_buf = 2 * tb * chunk * two_h * itemsize
+    src_item = 1 if src_quant else itemsize
+    src = tb * s_len * two_h * src_item * (1 if src_hbm else 2)
+    if src_quant:
+        # [TB, 2, S] f32 scales, sublane dim 2 padded to 8
+        src += tb * 8 * s_len * 4 * (1 if src_hbm else 2)
+    cache_item = 1 if cache_quant else itemsize
+    chunk_buf = 2 * tb * chunk * two_h * cache_item
+    if cache_quant:
+        # [CK, 2, TB] f32 scale chunks, double-buffered; sublane 2 -> 8,
+        # lane tb padded to 128
+        chunk_buf += 2 * chunk * 8 * (((tb + 127) // 128) * 128) * 4
     weights = itemsize * (
         hidden * 3 * hidden + 3 * hidden          # w_qkv + b
         + 3 * (hidden * hidden + hidden)          # w_out, w_q2, w_out2 + b
@@ -356,7 +450,8 @@ _VMEM_BUDGET = 15 * 1024 * 1024
 def pick_v2_config(
     *, batch: int, hidden: int, s_len: int, filter_dim: int,
     itemsize: int = 2, batch_tile: int = 32, chunk: int = 64,
-    max_len: int = 0, fixed_tile: bool = False,
+    max_len: int = 0, fixed_tile: bool = False, src_quant: bool = False,
+    cache_quant: bool = False,
 ):
     """Largest (batch_tile, chunk, src_hbm) fitting the scoped-VMEM budget.
 
@@ -376,6 +471,7 @@ def pick_v2_config(
         return scoped_vmem_estimate(
             batch_tile=tb, chunk=ck, hidden=hidden, s_len=s_len,
             filter_dim=filter_dim, itemsize=itemsize, src_hbm=src_hbm,
+            src_quant=src_quant, cache_quant=cache_quant,
         )
 
     if (not fixed_tile or batch_tile == 64) and batch % 64 == 0 \
@@ -412,6 +508,7 @@ def decoder_layer_step_v2(
     cache: jnp.ndarray,  # [B, L, 2H]; L must be a multiple of ``chunk``
     src_kv: jnp.ndarray,  # [B, S, 2H]
     weights: Tuple[jnp.ndarray, ...],
+    src_scale: jnp.ndarray = None,  # [B, 2, S] f32 when src_kv is int8
     *,
     head_num: int,
     cache_outputs: bool = True,
@@ -430,6 +527,15 @@ def decoder_layer_step_v2(
     Halves the src VMEM footprint vs the auto-pipeline's double buffer —
     required for wide decoders (see pick_v2_config).
 
+    ``src_scale``: enables the OPT-IN int8 cross-K/V path — ``src_kv``
+    is then int8 quantized per (row, position) with f32 scales
+    ``src_scale[:, 0/1, :]`` for K/V (see
+    fast_step.precompute_cross_kv_int8). Halves the dominant decode HBM
+    stream (the per-step cross-K/V re-read, 47% of traffic at flagship
+    shapes — docs/PERFORMANCE.md r4 roofline); the scales fold into
+    scores / probabilities, so numerics differ from bf16 by the
+    quantization error only (a numerics change: opt-in, never default).
+
     Defaults tuned on v5e with bf16 compute (1-layer 230-step scan):
     tb=32/ck=64 199us/step vs tb=16/ck=64 203 and tb=16/ck=128 207;
     tb=64/ck=64 is fastest standalone (185) but exceeds the 16MB scoped
@@ -440,12 +546,28 @@ def decoder_layer_step_v2(
     (make_fast_greedy_fn does; see its v2 padding).
     """
     b, hidden = x.shape
+    # OPT-IN int8 self-cache: ``cache`` is then a
+    # ([G, L, TB, 2H] int8, [G, L, 2, TB] f32 scales) pair — tiled
+    # layout only (the scale chunks ride the same contiguous-leading-dim
+    # DMA geometry as the cache chunks)
+    cache_quant = isinstance(cache, tuple)
+    cache_scale = None
+    if cache_quant:
+        cache, cache_scale = cache
+        if not tiled_cache:
+            raise ValueError("int8 cache_quant requires tiled_cache=True")
+        if slot_in_kernel:
+            raise ValueError("int8 cache_quant excludes slot_in_kernel")
     tb = _pick_batch_tile(b, batch_tile, sublane16=tiled_cache)
     if tiled_cache:
         # cache is [G, L, TB, 2H] (see tiled_cache_shape); the tile used
         # at allocation must equal the kernel's batch tile
         g, max_len, tb_c, twoh = cache.shape
         assert tb_c == tb and g * tb == b, (cache.shape, tb, b)
+        if cache_quant:
+            assert cache_scale.shape == (g, max_len, 2, tb), (
+                cache_scale.shape, cache.shape
+            )
     else:
         max_len = cache.shape[1]
     assert max_len % chunk == 0, (max_len, chunk)
@@ -474,10 +596,12 @@ def decoder_layer_step_v2(
         # makes the external XLA DUS cost ~16.5us. The tiled
         # [G, L, TB, 2H] layout slices only untiled leading dims.
         raise ValueError("slot_in_kernel requires tiled_cache=True")
+    src_quant = src_scale is not None
     kernel = functools.partial(
         _kernel, head_num=head_num, chunk=chunk,
         cache_outputs=cache_outputs, tiled=tiled_cache, src_hbm=src_hbm,
-        slot_write=slot_in_kernel,
+        slot_write=slot_in_kernel, src_quant=src_quant,
+        cache_quant=cache_quant,
     )
     chunk_buf_shape = (
         (2, chunk, tb, 2 * hidden) if tiled_cache
@@ -494,11 +618,21 @@ def decoder_layer_step_v2(
         pltpu.VMEM((tb, hidden), jnp.float32),
         pltpu.SemaphoreType.DMA((2,)),
     ]
+    if cache_quant:
+        scratch += [
+            pltpu.VMEM((2, chunk, 2, tb), cache_scale.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
     if src_hbm:
         scratch += [
             pltpu.VMEM((tb, s_len, 2 * hidden), src_kv.dtype),
             pltpu.SemaphoreType.DMA,
         ]
+        if src_quant:
+            scratch += [
+                pltpu.VMEM((tb, 2, s_len), src_scale.dtype),
+                pltpu.SemaphoreType.DMA,
+            ]
     if slot_in_kernel:
         scratch += [
             pltpu.VMEM((tb, 2 * hidden), cache.dtype),
@@ -515,7 +649,15 @@ def decoder_layer_step_v2(
         out_specs_1 = batch_spec((2 * hidden,))
         out_shape_1 = jax.ShapeDtypeStruct((b, 2 * hidden), cache.dtype)
         aliases = {}
-    out, kv_slot = pl.pallas_call(
+    extra_out_specs, extra_out_shapes = [], []
+    if cache_quant:
+        extra_out_specs = [pl.BlockSpec(
+            (1, 2, tb), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM,
+        )]
+        extra_out_shapes = [
+            jax.ShapeDtypeStruct((b // tb, 2, tb), cache_scale.dtype)
+        ]
+    results = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -523,7 +665,15 @@ def decoder_layer_step_v2(
             in_specs=[
                 batch_spec((hidden,)),
                 pl.BlockSpec(memory_space=pl.ANY),  # cache stays in HBM
+            ] + (
+                # cache scales stay in HBM too (chunk-DMA'd with the cache)
+                [pl.BlockSpec(memory_space=pl.ANY)] if cache_quant else []
+            ) + [
                 src_spec,
+            ] + ([
+                pl.BlockSpec(memory_space=pl.ANY) if src_hbm
+                else batch_spec((2, s_len))
+            ] if src_quant else []) + [
                 full_spec(w_qkv.shape),
                 full_spec((1, 3 * hidden)),
                 full_spec(w_out.shape),
@@ -543,20 +693,22 @@ def decoder_layer_step_v2(
             out_specs=[
                 batch_spec((hidden,)),
                 out_specs_1,
-            ],
+            ] + extra_out_specs,
             scratch_shapes=scratch,
         ),
         out_shape=[
             jax.ShapeDtypeStruct((b, hidden), x.dtype),
             out_shape_1,
-        ],
+        ] + extra_out_shapes,
         input_output_aliases=aliases,
         interpret=interpret,
     )(
         pos.reshape(1).astype(jnp.int32),
         x,
         cache,
+        *((cache_scale,) if cache_quant else ()),
         src_kv,
+        *((src_scale,) if src_quant else ()),
         w_qkv,
         b_qkv.reshape(1, -1),
         w_out,
@@ -573,6 +725,20 @@ def decoder_layer_step_v2(
         b_ff1.reshape(1, -1),
         jnp.stack([ln3[0], ln3[1]]),
     )
+    if cache_quant:
+        out, kv_slot, slot_scales = results
+        new_cache = jax.lax.dynamic_update_slice(
+            cache,
+            kv_slot.reshape(b // tb, 1, tb, 2 * hidden),
+            (0, pos, 0, 0),
+        )
+        new_scale = jax.lax.dynamic_update_slice(
+            cache_scale,
+            slot_scales.reshape(b // tb, 1, 2, tb),
+            (0, pos, 0, 0),
+        )
+        return out, (new_cache, new_scale)
+    out, kv_slot = results
     if slot_in_kernel:
         return out, kv_slot  # kv_slot IS the updated (aliased) cache
     if tiled_cache:

@@ -380,3 +380,191 @@ def test_pallas_v2_slot_in_kernel_matches_external_dus():
                 np.asarray(n1), np.asarray(n2), rtol=1e-6, atol=1e-6
             )
             c1, c2, x = n1, n2, o1
+
+
+def test_pallas_v2_int8_src_quant_matches_dequantized_jnp():
+    """kv_quant="int8" cross-K/V: the kernel consumes the int8 tensors
+    with per-(row, position) scales folded into scores/probabilities —
+    it must match the jnp fast step fed the EXPLICITLY dequantized
+    cross-K/V (exact same quantization error, different evaluation
+    order), across the VMEM-src and HBM-src variants and both cache
+    layouts."""
+    from p4fr_tpu.decoding.fast_step import (
+        dequantize_cross_kv,
+        precompute_cross_kv_int8,
+    )
+
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    src = model.apply(variables, images, method="encode")
+    fast = build_fast_decoder(model, variables)
+    cross_q = precompute_cross_kv_int8(fast, src)
+    assert all(c.dtype == jnp.int8 for c, _ in cross_q)
+    assert all(s.shape == (B, 2, src.shape[1]) for _, s in cross_q)
+    cross_dq = dequantize_cross_kv(cross_q, dtype=src.dtype)
+
+    for tiled in (False, True):
+        c1 = init_fast_cache(fast, B, 8)
+        c2 = init_fast_cache(fast, B, 8, tiled_tile=2 if tiled else 0)
+        token = jnp.zeros((B,), jnp.int32)
+        for t in range(5):
+            l1, c1 = fast_decode_step(
+                fast, token, jnp.asarray(t), cross_dq, c1
+            )
+            l2, c2 = pallas_decode_step_v2(
+                fast, token, jnp.asarray(t), cross_q, c2,
+                batch_tile=2, chunk=4, interpret=True,
+            )
+            np.testing.assert_allclose(
+                np.asarray(l1), np.asarray(l2), rtol=1e-4, atol=1e-4
+            )
+            token = jnp.argmax(l1, -1).astype(jnp.int32)
+
+
+def test_pallas_v2_int8_src_hbm_variant_matches_vmem_variant():
+    """The src_hbm=True int8 path (manual DMA of both the int8 K/V tile
+    and its scale tile) must equal the auto-pipelined VMEM variant."""
+    from p4fr_tpu.decoding.fast_step import (
+        layer_weight_tuple,
+        precompute_cross_kv_int8,
+    )
+    from p4fr_tpu.ops.pallas.decoder_layer_v2 import decoder_layer_step_v2
+
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    src = model.apply(variables, images, method="encode")
+    fast = build_fast_decoder(model, variables)
+    ckv, scale = precompute_cross_kv_int8(fast, src)[0]
+    layer = fast.layers[0]
+    token = jnp.zeros((B,), jnp.int32)
+    c1 = init_fast_cache(fast, B, 8)[0]
+    c2 = c1
+    x = fast.embed_scaled[token] + fast.pos_encoding[0][None, :]
+    for t in range(3):
+        pos = jnp.asarray(t)
+        o1, n1 = decoder_layer_step_v2(
+            x, pos, c1, ckv, layer_weight_tuple(layer), scale,
+            head_num=fast.head_num, cache_outputs=fast.cache_outputs,
+            batch_tile=2, chunk=4, interpret=True, src_hbm=False,
+        )
+        o2, n2 = decoder_layer_step_v2(
+            x, pos, c2, ckv, layer_weight_tuple(layer), scale,
+            head_num=fast.head_num, cache_outputs=fast.cache_outputs,
+            batch_tile=2, chunk=4, interpret=True, src_hbm=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(o1), np.asarray(o2), rtol=1e-6, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(n1), np.asarray(n2), rtol=1e-6, atol=1e-6
+        )
+        c1, c2, x = n1, n2, o1
+
+
+def test_greedy_fn_kv_quant_int8_close_to_unquantized():
+    """make_fast_greedy_fn(kv_quant="int8") must run end-to-end and
+    produce tokens overwhelmingly equal to the unquantized decode (int8
+    with per-row scales keeps ~2 decimal digits; on a tiny random model
+    the argmax can flip on near-ties, so assert high agreement, and
+    assert the jnp and pallas-interpret quant paths agree EXACTLY with
+    each other — same numerics class)."""
+    from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
+
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    base = make_fast_greedy_fn(model, variables, max_steps=8)(images)
+    q_jnp = make_fast_greedy_fn(
+        model, variables, max_steps=8, kv_quant="int8"
+    )(images)
+    agree = float(np.mean(np.asarray(base) == np.asarray(q_jnp)))
+    assert agree >= 0.75, agree
+
+
+def _snap_cache_rows(cache_tuple, pos):
+    """Quantize-dequantize the row at ``pos`` of each layer's flat cache
+    — the jnp twin of what the int8 cache kernel stores (per-row, per
+    K/V-half scales via the SAME quantize_rows the kernel mirrors)."""
+    from p4fr_tpu.decoding.fast_step import quantize_rows
+
+    out = []
+    for kv_all in cache_tuple:
+        row = kv_all[:, pos, :]
+        h = row.shape[-1] // 2
+        k8, sk = quantize_rows(row[:, :h])
+        v8, sv = quantize_rows(row[:, h:])
+        deq = jnp.concatenate(
+            [k8.astype(jnp.float32) * sk[:, None],
+             v8.astype(jnp.float32) * sv[:, None]], -1,
+        ).astype(kv_all.dtype)
+        out.append(kv_all.at[:, pos, :].set(deq))
+    return tuple(out)
+
+
+def test_pallas_v2_int8_cache_quant_matches_snapped_jnp():
+    """kv_quant="int8_cache": the kernel stores the self-attention KV
+    cache in int8 with per-(slot, row) scales and folds the dequant
+    into scores/probabilities. Twin: the jnp fast step whose cache row
+    is quantize-dequantized after every step (prefix rows quantized,
+    current-step seed exact — the kernel's exact semantics). Logits
+    must track within quantization-rounding tolerance."""
+    from p4fr_tpu.decoding.fast_step import precompute_cross_kv_int8
+
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    src = model.apply(variables, images, method="encode")
+    fast = build_fast_decoder(model, variables)
+    from p4fr_tpu.decoding.fast_step import dequantize_cross_kv
+
+    cross_q = precompute_cross_kv_int8(fast, src)
+    cross_dq = dequantize_cross_kv(cross_q, dtype=src.dtype)
+    c1 = init_fast_cache(fast, B, 8)
+    c2 = init_fast_cache(fast, B, 8, tiled_tile=2, quant=True)
+    for i8, scl in c2:
+        assert i8.dtype == jnp.int8 and i8.shape == (B // 2, 8, 2, i8.shape[-1])
+        assert scl.shape == (B // 2, 8, 2, 2) and scl.dtype == jnp.float32
+    token = jnp.zeros((B,), jnp.int32)
+    for t in range(6):
+        l1, c1 = fast_decode_step(fast, token, jnp.asarray(t), cross_dq, c1)
+        c1 = _snap_cache_rows(c1, t)
+        l2, c2 = pallas_decode_step_v2(
+            fast, token, jnp.asarray(t), cross_q, c2,
+            batch_tile=2, chunk=4, interpret=True,
+        )
+        # an off-by-one-ulp int8 rounding on a single cache row can move
+        # a logit by ~scale (1/127 of the row max); tolerate that class
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=5e-3, atol=5e-3
+        )
+        token = jnp.argmax(l1, -1).astype(jnp.int32)
+
+    # and the stored int8 cache dequantizes to the twin's snapped cache
+    for flat, (i8, scl) in zip(c1, c2):
+        g, L, tb, twoh = i8.shape
+        h = twoh // 2
+        deq_k = i8[..., :h].astype(np.float32) * np.asarray(scl)[:, :, 0, :, None]
+        deq_v = i8[..., h:].astype(np.float32) * np.asarray(scl)[:, :, 1, :, None]
+        deq = np.concatenate([deq_k, deq_v], -1).transpose(0, 2, 1, 3)
+        deq = deq.reshape(g * tb, L, twoh)
+        np.testing.assert_allclose(
+            np.asarray(flat), deq, rtol=5e-3, atol=5e-3
+        )
