@@ -301,6 +301,15 @@ def main(argv=None):
                         "random weights never emit <EOS>, so per-sequence "
                         "stop steps are injected via the documented "
                         "stop_override benchmarking hook")
+    parser.add_argument("--kv-quant", default="none",
+                        choices=("none", "int8", "int8_cache"),
+                        help="OPT-IN decode KV quantization (fast greedy "
+                        "path only): 'int8' stores the per-layer cross-K/V "
+                        "in int8 (+per-row scales), halving the dominant "
+                        "decode HBM stream; 'int8_cache' also stores the "
+                        "self-attention KV cache in int8 (tiled layout). "
+                        "Numerics change (quantization error) — never a "
+                        "default; see docs/PERFORMANCE.md")
     args = parser.parse_args(argv)
     if args.batch is None:
         # decode modes are throughput-bound at large batch; the train
@@ -503,6 +512,19 @@ def main(argv=None):
 
     tables = None if args.no_manager else RuleTables.build(vocab)
 
+    if args.kv_quant != "none" and (
+        args.ensemble or args.decode == "beam" or args.fused
+        or getattr(model, "supports_fast_lstm_decode", False)
+        or not getattr(model, "supports_fast_decode", False)
+    ):
+        # mislabeled JSON corrupts cross-round comparisons: only the
+        # fast greedy path consumes kv_quant, so refuse elsewhere
+        raise SystemExit(
+            "--kv-quant is only supported on the fast greedy decode "
+            "path (transformer families, --decode greedy, no --fused/"
+            "--ensemble)"
+        )
+
     if args.ensemble:
         return _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype,
                                model, variables, images, u8_batches)
@@ -566,11 +588,14 @@ def main(argv=None):
             early_stop_eos=vocab.eos_id if args.early_stop else None,
             stop_override="arg" if args.early_stop else None,
             tiled_cache=True if args.tiled_cache else "auto",
+            kv_quant=args.kv_quant,
         )
         fn = _wrap_stops(jax, decode_fn, variables, args.early_stop)
         path_label = "pallas-v2, " if args.pallas_v2 else "fast-jnp, "
         if args.tiled_cache and args.pallas_v2:
             path_label = "pallas-v2 tiled-cache, "
+        if args.kv_quant != "none":
+            path_label += f"kv-{args.kv_quant}, "
     else:
         if args.early_stop:
             print("# --early-stop: generic decode path has no "

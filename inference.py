@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(ensemble only)",
     )
     parser.add_argument(
+        "--kv_quant", default="none",
+        choices=["none", "int8", "int8_cache"],
+        help="OPT-IN decode KV quantization (single inference, fast "
+        "greedy path only): int8 = int8 cross-K/V (halves the dominant "
+        "decode HBM stream), int8_cache = + int8 self-attention cache. "
+        "Numerics change bounded by int8 rounding — never a default",
+    )
+    parser.add_argument(
         "--early_stop", type=str2bool, default=False,
         help="exit the decode loop once every sequence emits <EOS> "
         "(output-equivalent; the reference always runs all steps)",
@@ -90,6 +98,8 @@ def main(argv=None):
         # reference forces greedy for ensembles (inference.py:81-84)
         print("[!] ensemble inference supports greedy only; forcing greedy")
         args.decode_type = "greedy"
+    if args.inference_type == "ensemble" and args.kv_quant != "none":
+        parser.error("--kv_quant is single-inference only")
 
     module = importlib.import_module(
         f"p4fr_tpu.infer.{args.inference_type}"

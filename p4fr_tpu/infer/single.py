@@ -100,6 +100,7 @@ def run_inference(
     early_stop: bool = False,
     kernel: str = "auto",
     preprocess: str = "device",
+    kv_quant: str = "none",
 ) -> List[Tuple[str, str]]:
     """``kernel`` selects the greedy decode implementation: "auto" picks
     "pallas_v2" on TPU (measured fastest: the flash-decode fused-layer
@@ -113,7 +114,13 @@ def run_inference(
     (ops/pallas/preprocess.standardize — 4x less H2D bandwidth than the
     reference's host-normalized float feed,
     inference_modules/inference_single.py:52-74); "host" is the legacy
-    cv2-normalized float32 path (bit-exact albumentations parity)."""
+    cv2-normalized float32 path (bit-exact albumentations parity).
+
+    ``kv_quant``: OPT-IN decode KV quantization on the fast greedy path
+    ("int8" = int8 cross-K/V, "int8_cache" = + int8 self-cache; see
+    decoding/fast_step.make_fast_greedy_fn). A numerics change (bounded
+    by int8 rounding) — never a default; rejected on paths that would
+    silently ignore it."""
     model, variables, options, vocab, _ = load_model_from_checkpoint(
         checkpoint_path
     )
@@ -131,6 +138,15 @@ def run_inference(
     num_steps = max_sequence + 1  # reference: len(dummy encoded) - 1
 
     dual_sig = False
+    if kv_quant != "none" and not (
+        decode_type == "greedy"
+        and getattr(model, "supports_fast_decode", False)
+        and kernel != "fused"
+    ):
+        raise ValueError(
+            "--kv_quant is only supported on the fast greedy decode "
+            "path (transformer families, greedy, non-fused kernel)"
+        )
     if decode_type == "greedy":
         if getattr(model, "supports_fast_decode", False):
             from p4fr_tpu.decoding.fast_step import resolve_kernel
@@ -153,6 +169,7 @@ def run_inference(
                     model, variables, max_steps=num_steps, tables=tables,
                     early_stop_eos=vocab.eos_id if early_stop else None,
                     use_pallas_v2=(kernel == "pallas_v2"),
+                    kv_quant=kv_quant,
                 )
             decode_fn = fused  # dual signature
             dual_sig = True
@@ -308,5 +325,6 @@ def main(parser):
         early_stop=getattr(parser, "early_stop", False),
         kernel=getattr(parser, "kernel", "auto"),
         preprocess=getattr(parser, "preprocess", "device"),
+        kv_quant=getattr(parser, "kv_quant", "none"),
         mesh=mesh,
     )

@@ -121,6 +121,51 @@ def test_early_stop_sorted_batching_preserves_outputs(tmp_path, tokens_path):
     assert [r.split("\t")[0] for r in rows] == names
 
 
+def test_kv_quant_cli_runs_and_guards(tmp_path, tokens_path):
+    """--kv_quant int8 runs end-to-end through the CLI (CPU reproduces
+    the quantization numerics via dequantized cross-KV) and is rejected
+    on decode paths that would silently ignore it (beam, ensemble)."""
+    import inference as infer_cli
+    from p4fr_tpu.train import single_opt
+
+    gt = make_synth_dataset(str(tmp_path), n=4, folds=2)
+    options = tiny_train_options(gt, tokens_path, epochs=1, batch_size=2)
+    single_opt.main(options, max_label_len=10)
+    ckpt = os.path.join(
+        options.prefix, "checkpoints", "LiteSATRN_best_model.ckpt"
+    )
+    inp = tmp_path / "input.txt"
+    names = sorted(os.listdir(tmp_path / "images"))
+    inp.write_text("".join(n + "\t\n" for n in names))
+
+    base_args = [
+        "--inference_type", "single", "--checkpoint", ckpt,
+        "--file_path", str(inp), "--max_sequence", "6",
+        "--batch_size", "4",
+    ]
+    results = infer_cli.main(
+        base_args + ["--output_dir", str(tmp_path / "oq"),
+                     "--kv_quant", "int8"]
+    )
+    assert len(results) == len(names)
+    assert all(isinstance(p, str) for _, p in results)
+
+    # beam decode does not consume kv_quant -> hard error, not silence
+    with pytest.raises(ValueError, match="kv_quant"):
+        infer_cli.main(
+            base_args + ["--output_dir", str(tmp_path / "ob"),
+                         "--kv_quant", "int8", "--decode_type", "beam"]
+        )
+    # ensemble path: rejected at the argparse layer
+    with pytest.raises(SystemExit):
+        infer_cli.main(
+            ["--inference_type", "ensemble", "--checkpoint", ckpt, ckpt,
+             "--file_path", str(inp),
+             "--output_dir", str(tmp_path / "oe"),
+             "--kv_quant", "int8"]
+        )
+
+
 def test_data_parallel_rejects_indivisible_batch(tmp_path, tokens_path):
     from p4fr_tpu.infer.single import default_mesh
 
