@@ -232,41 +232,30 @@ def run_ensemble(
         early_stop_eos=vocab.eos_id if early_stop else None,
         kernel=kernel,
     )
-    def encode_fn(model, allow_pallas=True):
+    def encode_fn(model):
         if device_preprocess:
-            from p4fr_tpu.ops.pallas.preprocess import (
-                _standardize_jnp,
-                standardize,
-            )
+            from p4fr_tpu.ops.pallas.preprocess import standardize
 
-            # GSPMD cannot partition a pallas_call, so encoders that run
-            # under jit(in_shardings=...) on a mesh must standardize via
-            # the identical jnp expression (XLA partitions + fuses it into
-            # the first conv); single-device encoders keep the fused
-            # Pallas kernel
-            std = standardize if allow_pallas else _standardize_jnp
             return lambda v, im, m=model: m.apply(
-                v, std(im, out_dtype=m.dtype), method="encode"
+                v, standardize(im, out_dtype=m.dtype), method="encode"
             )
         return lambda v, im, m=model: m.apply(v, im, method="encode")
 
     if mesh is not None:
         # DP ensemble (BASELINE north star): every model replicates, the
         # image batch and all per-model encoder memories shard over `data`.
-        # The joint decode goes through shard_map (manual SPMD) so Pallas
-        # decode kernels run per-device on their batch shard.
-        from p4fr_tpu.parallel.mesh import batch_sharding, replicated
+        # BOTH the joint decode AND the encoders go through shard_map
+        # (manual SPMD): GSPMD cannot partition a pallas_call, and the
+        # encoders embed two of them on TPU (the fused standardize feed
+        # and SWIN's fused window attention, models/swin.py:145-157) —
+        # under shard_map each device runs the full per-shard program,
+        # so the kernels apply per batch shard with zero collectives,
+        # exactly like make_sharded_infer_fn's decode path.
         from p4fr_tpu.parallel.sharding import make_sharded_infer_fn
 
-        batch_sh = batch_sharding(mesh)
-        repl = replicated(mesh)
         decode = make_sharded_infer_fn(decode_fn, mesh)
         encoders = [
-            jax.jit(
-                encode_fn(model, allow_pallas=False),
-                in_shardings=(repl, batch_sh),
-                out_shardings=batch_sh,
-            )
+            make_sharded_infer_fn(encode_fn(model), mesh)
             for model in models
         ]
     else:
