@@ -225,15 +225,21 @@ def init_fast_cache(
         shape = (batch, max_len, 2 * hidden)
     if quant:
         # int8 self-cache (kv_quant="int8_cache"): per-layer
-        # ([G, L, TB, 2H] int8, [G, L, 2, TB] f32 scale) pairs; tiled
+        # ([G, L, TB, 2H] int8, [G, L, 2*TB] f32 scale) pairs; tiled
         # layout only — the scale chunks ride the same
-        # contiguous-leading-dim DMA as the cache chunks
+        # contiguous-leading-dim DMA as the cache chunks. The k/v scales
+        # merge into ONE 128-aligned minor dim (k lanes [:TB], v [TB:]):
+        # Mosaic DMA slices need minor % 128 == 0, so the production
+        # tile tb=64 is required (decoder_layer_v2 enforces it too).
         if not tiled_tile:
             raise ValueError("quantized cache requires tiled_tile")
+        # NOTE: compiled Mosaic additionally needs 2*tile % 128 == 0
+        # (decoder_layer_step_v2 enforces it); smaller tiles are legal
+        # in interpret-mode tests only.
         g, L, tb, _ = shape
         return tuple(
             (jnp.zeros(shape, jnp.int8),
-             jnp.zeros((g, L, 2, tb), jnp.float32))
+             jnp.zeros((g, L, 2 * tb), jnp.float32))
             for _ in fast.layers
         )
     return tuple(
@@ -638,7 +644,11 @@ def make_fast_greedy_fn(
             # degrade the largest-divisor tile fallback to tb=1 (an
             # order-of-magnitude slowdown); pad post-encoder and slice
             # the tokens back instead
-            batch = ((b0 + 15) // 16) * 16
+            # int8_cache pads to FULL 64-row tiles: its merged k|v scale
+            # minor dim (2*TB) must be 128-aligned for the Mosaic chunk
+            # DMA, so only tb=64 compiles
+            mult = 64 if kv_quant == "int8_cache" else 16
+            batch = ((b0 + mult - 1) // mult) * mult
             if batch != b0:
                 src = jnp.pad(src, ((0, batch - b0), (0, 0), (0, 0)))
         if kv_quant in ("int8", "int8_cache"):
@@ -687,12 +697,17 @@ def make_fast_greedy_fn(
                     tile = 64
             elif tiled_cache:
                 tile = 32
-            if kv_quant == "int8_cache" and not tile:
-                # the int8 self-cache requires the tiled layout; fall
-                # back to the smallest sublane-aligned tile when the
-                # flagship tile didn't engage (batch is already padded
-                # to a multiple of 16 above)
-                tile = 16
+            if kv_quant == "int8_cache" and tile != 64:
+                # the int8 self-cache exists only at the production
+                # tb=64 tiled config (scale-DMA lane alignment); no
+                # silent degrade — the caller asked for a specific
+                # numerics/bandwidth trade
+                raise ValueError(
+                    "kv_quant='int8_cache' requires the flagship tiled "
+                    "config (tb=64/ck=32/src_hbm) to fit; this "
+                    "decoder/batch does not engage it — use "
+                    "kv_quant='int8' (cross-K/V only) instead"
+                )
         cache = init_fast_cache(
             fast, batch, cache_len, tiled_tile=tile,
             quant=kv_quant == "int8_cache" and use_pallas_v2,

@@ -86,7 +86,13 @@ def _kernel(
     cache_quant: bool = False,
 ):
     rest = list(rest)
-    cache_scale_hbm = rest.pop(0) if cache_quant else None  # [G,L,2,TB] ANY
+    # [G, L, 2*TB] ANY when cache_quant: k-scales in lanes [:TB], v-scales
+    # in [TB:]. The (2, TB) pair is MERGED into one minor dim because
+    # Mosaic DMA slices require the minor dim to be 128-aligned — the
+    # production tile (TB=64) gives exactly 128 lanes; a [..., 2, TB]
+    # layout (TB=64 minor) fails to compile ("Slice shape along dimension
+    # 3 must be aligned to tiling (128)").
+    cache_scale_hbm = rest.pop(0) if cache_quant else None
     src_kv_ref = rest.pop(0)  # [TB, S, 2H] VMEM, or [B, S, 2H] ANY (src_hbm)
     src_scale_ref = rest.pop(0) if src_quant else None
     (w_qkv_ref, b_qkv_ref,
@@ -100,7 +106,7 @@ def _kernel(
     # - slot_ref [TB, 2H] VMEM slot for the XLA DUS — or, when
     #   ``slot_write``, the ANY-space cache OUTPUT aliased to
     #   ``cache_hbm`` (the kernel DMAs the slot row itself)
-    # - slot_scale_ref [1, 2, TB] (cache_quant only)
+    # - slot_scale_ref [1, 1, 2*TB] (cache_quant only; k | v lane halves)
     out_ref, slot_ref = rest[15:17]
     slot_scale_ref = rest[17] if cache_quant else None
     # scratch (see ``scratch_shapes`` — composition depends on flags)
@@ -217,7 +223,7 @@ def _kernel(
     def cscale_dma(slot, c):
         start = pl.multiple_of(c * chunk, chunk)
         return pltpu.make_async_copy(
-            cache_scale_hbm.at[i, pl.ds(start, chunk), :, :],
+            cache_scale_hbm.at[i, pl.ds(start, chunk), :],
             cscale_buf.at[slot],
             cscale_sem.at[slot],
         )
@@ -260,8 +266,8 @@ def _kernel(
                 # into the scores, the v-scale into the probabilities
                 # (AFTER the softmax-mass accumulation — l tracks the
                 # true softmax weights)
-                sk = cscale_buf[slot, :, 0, :]  # [CK, TB] f32
-                sv = cscale_buf[slot, :, 1, :]
+                sk = cscale_buf[slot, :, :tb]  # [CK, TB] f32
+                sv = cscale_buf[slot, :, tb:]
                 s = s * sk[:, :, None]
             t_idx = jax.lax.broadcasted_iota(
                 jnp.int32, (chunk, tb, head_num), 0
@@ -388,7 +394,7 @@ def _kernel(
         k8 = jnp.clip(jnp.round(k_half / sk_slot[:, None]), -127, 127)
         v8 = jnp.clip(jnp.round(v_half / sv_slot[:, None]), -127, 127)
         slot_ref[:] = jnp.concatenate([k8, v8], axis=-1).astype(jnp.int8)
-        slot_scale_ref[:] = jnp.stack([sk_slot, sv_slot])[None]
+        slot_scale_ref[:] = jnp.concatenate([sk_slot, sv_slot])[None, None]
         out_ref[:] = out.astype(out_ref.dtype)
     elif slot_write:
         # in-kernel row DMA into the aliased cache output (r4 trace
@@ -428,9 +434,9 @@ def scoped_vmem_estimate(
     cache_item = 1 if cache_quant else itemsize
     chunk_buf = 2 * tb * chunk * two_h * cache_item
     if cache_quant:
-        # [CK, 2, TB] f32 scale chunks, double-buffered; sublane 2 -> 8,
-        # lane tb padded to 128
-        chunk_buf += 2 * chunk * 8 * (((tb + 127) // 128) * 128) * 4
+        # [CK, 2*TB] f32 scale chunks, double-buffered; lane 2*tb padded
+        # to 128 (production tb=64 is exact)
+        chunk_buf += 2 * chunk * (((2 * tb + 127) // 128) * 128) * 4
     weights = itemsize * (
         hidden * 3 * hidden + 3 * hidden          # w_qkv + b
         + 3 * (hidden * hidden + hidden)          # w_out, w_q2, w_out2 + b
@@ -547,9 +553,12 @@ def decoder_layer_step_v2(
     """
     b, hidden = x.shape
     # OPT-IN int8 self-cache: ``cache`` is then a
-    # ([G, L, TB, 2H] int8, [G, L, 2, TB] f32 scales) pair — tiled
+    # ([G, L, TB, 2H] int8, [G, L, 2*TB] f32 scales) pair — tiled
     # layout only (the scale chunks ride the same contiguous-leading-dim
-    # DMA geometry as the cache chunks)
+    # DMA geometry as the cache chunks). The k/v scales share ONE merged
+    # minor dim (k in lanes [:TB], v in [TB:]) because Mosaic DMA slices
+    # need a 128-aligned minor dim — so the tile must satisfy
+    # 2*TB % 128 == 0 (the production tb=64).
     cache_quant = isinstance(cache, tuple)
     cache_scale = None
     if cache_quant:
@@ -565,9 +574,15 @@ def decoder_layer_step_v2(
         g, max_len, tb_c, twoh = cache.shape
         assert tb_c == tb and g * tb == b, (cache.shape, tb, b)
         if cache_quant:
-            assert cache_scale.shape == (g, max_len, 2, tb), (
+            assert cache_scale.shape == (g, max_len, 2 * tb), (
                 cache_scale.shape, cache.shape
             )
+            if (2 * tb) % 128 != 0 and not interpret:
+                raise ValueError(
+                    "int8 cache_quant needs 2*batch_tile % 128 == 0 "
+                    f"(got tile {tb}): the merged k|v scale minor dim "
+                    "must be 128-aligned for the Mosaic chunk DMA"
+                )
     else:
         max_len = cache.shape[1]
     assert max_len % chunk == 0, (max_len, chunk)
@@ -620,7 +635,7 @@ def decoder_layer_step_v2(
     ]
     if cache_quant:
         scratch += [
-            pltpu.VMEM((2, chunk, 2, tb), cache_scale.dtype),
+            pltpu.VMEM((2, chunk, 2 * tb), cache_scale.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ]
     if src_hbm:
@@ -651,11 +666,15 @@ def decoder_layer_step_v2(
         aliases = {}
     extra_out_specs, extra_out_shapes = [], []
     if cache_quant:
+        # 3-d [G, 1, 2*TB] (not [G, 2*TB]): the block's last two dims
+        # must each be tile-divisible or equal the array dim — (1, 2*TB)
+        # over a 2-d array fails the sublane rule, (1, 1, 2*TB) passes
         extra_out_specs = [pl.BlockSpec(
-            (1, 2, tb), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM,
+            (1, 1, 2 * tb), lambda i, *_: (i, 0, 0),
+            memory_space=pltpu.VMEM,
         )]
         extra_out_shapes = [
-            jax.ShapeDtypeStruct((b // tb, 2, tb), cache_scale.dtype)
+            jax.ShapeDtypeStruct((b // tb, 1, 2 * tb), cache_scale.dtype)
         ]
     results = pl.pallas_call(
         kernel,
@@ -733,9 +752,7 @@ def decoder_layer_step_v2(
             (0, pos, 0, 0),
         )
         new_scale = jax.lax.dynamic_update_slice(
-            cache_scale,
-            slot_scales.reshape(b // tb, 1, 2, tb),
-            (0, pos, 0, 0),
+            cache_scale, slot_scales, (0, pos, 0)
         )
         return out, (new_cache, new_scale)
     out, kv_slot = results

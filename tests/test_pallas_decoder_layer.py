@@ -541,7 +541,8 @@ def test_pallas_v2_int8_cache_quant_matches_snapped_jnp():
     c2 = init_fast_cache(fast, B, 8, tiled_tile=2, quant=True)
     for i8, scl in c2:
         assert i8.dtype == jnp.int8 and i8.shape == (B // 2, 8, 2, i8.shape[-1])
-        assert scl.shape == (B // 2, 8, 2, 2) and scl.dtype == jnp.float32
+        # merged k|v scale minor dim: k lanes [:tb], v lanes [tb:]
+        assert scl.shape == (B // 2, 8, 4) and scl.dtype == jnp.float32
     token = jnp.zeros((B,), jnp.int32)
     for t in range(6):
         l1, c1 = fast_decode_step(fast, token, jnp.asarray(t), cross_dq, c1)
@@ -561,8 +562,9 @@ def test_pallas_v2_int8_cache_quant_matches_snapped_jnp():
     for flat, (i8, scl) in zip(c1, c2):
         g, L, tb, twoh = i8.shape
         h = twoh // 2
-        deq_k = i8[..., :h].astype(np.float32) * np.asarray(scl)[:, :, 0, :, None]
-        deq_v = i8[..., h:].astype(np.float32) * np.asarray(scl)[:, :, 1, :, None]
+        scl = np.asarray(scl)
+        deq_k = i8[..., :h].astype(np.float32) * scl[:, :, :tb, None]
+        deq_v = i8[..., h:].astype(np.float32) * scl[:, :, tb:, None]
         deq = np.concatenate([deq_k, deq_v], -1).transpose(0, 2, 1, 3)
         deq = deq.reshape(g * tb, L, twoh)
         np.testing.assert_allclose(
