@@ -1,0 +1,38 @@
+#!/bin/bash
+# Scoped-VMEM-limit sweep for the v2 decode kernel config (round 4).
+#
+# The default 16MB Mosaic scoped-VMEM limit is what rejected the
+# auto-pipelined-src tb=64 configs inside the full greedy program
+# (decoder_layer_v2.pick_v2_config docstring: 20.12M compiler-reported).
+# --xla_tpu_scoped_vmem_limit_kib raises it; P4FR_V2_FORCE bypasses the
+# estimator. Each row is the FULL flagship bench (B=256, 230 steps,
+# manager on, pipelined x8) — kernels-only scans mislead (CLAUDE.md).
+#
+# Usage: bash examples/vmem_sweep.sh [row ...]   (default: all rows)
+set -u
+cd "$(dirname "$0")/.."
+
+run() {
+  local name="$1" limit="$2" force="$3"
+  echo "=== $name (limit_kib=$limit force=$force)" >&2
+  XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=$limit" \
+  P4FR_V2_FORCE="$force" \
+  BENCH_PROBE_BUDGET=120 \
+  timeout 2400 python bench.py 2>/tmp/vmem_sweep_err.log \
+    | tail -1 | sed "s/^/$name /"
+  tail -3 /tmp/vmem_sweep_err.log >&2
+}
+
+for row in "${@:-B C D E}"; do
+  case "$row" in
+    A) echo "=== A baseline" >&2
+       BENCH_PROBE_BUDGET=120 timeout 2400 python bench.py \
+         2>/tmp/vmem_sweep_err.log | tail -1 | sed 's/^/A /';;
+    B) run B 24576 "64,32,0";;   # pipelined src (r3's 19us-faster kernels-only)
+    C) run C 32768 "64,64,0";;   # + bigger chunks (r2 standalone-fastest)
+    D) run D 24576 "64,64,1";;   # bigger chunks, HBM src
+    E) run E 32768 "128,32,1";;  # half the grid steps
+    F) run F 40960 "128,64,1";;
+    G) run G 65536 "256,32,1";;  # single grid step
+  esac
+done

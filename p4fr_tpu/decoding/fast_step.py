@@ -693,8 +693,12 @@ def make_fast_greedy_fn(
                     src_quant=kv_quant in ("int8", "int8_cache"),
                     cache_quant=kv_quant == "int8_cache",
                 )
-                if cfg == (64, 32, True):
-                    tile = 64
+                # any tb>=64 config takes the tile-contiguous cache at
+                # that tile (the picker only yields tb>=64 for the
+                # flagship special case or a P4FR_V2_FORCE experiment
+                # override)
+                if cfg and cfg[0] >= 64 and batch % cfg[0] == 0:
+                    tile = cfg[0]
             elif tiled_cache:
                 tile = 32
             if kv_quant == "int8_cache" and tile != 64:

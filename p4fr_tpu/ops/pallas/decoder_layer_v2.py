@@ -45,6 +45,7 @@ projection replaces the cache slot).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
@@ -468,6 +469,16 @@ def pick_v2_config(
     tiled-cache layout bakes the tile into the allocation, so the kernel
     cannot shrink it). Returns None if nothing fits — callers should fall
     back to the jnp step."""
+    forced = os.environ.get("P4FR_V2_FORCE")
+    if forced:
+        # EXPERIMENT OVERRIDE: "tb,ck,src_hbm" (e.g. "64,32,0") bypasses
+        # the scoped-VMEM estimator entirely. Pair with
+        # XLA_FLAGS=--xla_tpu_scoped_vmem_limit_kib=N to probe configs
+        # the default 16MB limit rejects (r3: the auto-pipelined-src
+        # tb=64/ck=32 variant was 19us/step faster kernels-only but
+        # compiled at 20.12M scoped VMEM). Never set in production.
+        tb_f, ck_f, hbm_f = (int(v) for v in forced.split(","))
+        return tb_f, ck_f, bool(hbm_f)
     if fixed_tile:
         tbs = [batch_tile]
     else:
