@@ -207,7 +207,10 @@ def _tpu_available_or_fallback(raw_argv):
             return False
         time.sleep(wait)
         attempt += 1
-        status = _probe_tpu(min(120.0, deadline - time.monotonic()))
+        # cap each re-probe at the configured first-probe window (the
+        # old 120s cap was marginal on a degraded-but-alive tunnel where
+        # a healthy probe round-trips in ~115s)
+        status = _probe_tpu(min(first_timeout, deadline - time.monotonic()))
         print(f"# TPU re-probe {attempt}: {status}", file=sys.stderr)
         if status == "ok":
             return True
@@ -750,16 +753,31 @@ def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
 
 def _run_decode_bench(args, jax, jnp, fn, variables, images, u8_batches,
                       dtype, tables, path_label, stop_sets):
+    from p4fr_tpu.utils.xla_opts import tpu_compiler_options
+
     if not args.device_resident:
         # production feed path (infer/single.py): uint8 in, fused
-        # standardize on-device, decode in one compiled program
+        # standardize on-device, decode in one compiled program.
+        # compiler_options must ride the TOP-LEVEL jit (this one —
+        # _wrap's inner jit is inlined), so it is applied here, not in
+        # _wrap.
         from p4fr_tpu.ops.pallas.preprocess import standardize
 
         inner_fn = fn
         fn = jax.jit(
             lambda v, u8, *rest: inner_fn(
                 v, standardize(u8, out_dtype=dtype), *rest
-            )
+            ),
+            compiler_options=tpu_compiler_options(),
+        )
+    elif tpu_compiler_options():
+        # device-resident mode: the _wrap'd fn is itself top-level;
+        # re-wrap in a passthrough jit that carries the options (the
+        # inner jit is inlined, so this is the same program)
+        inner_fn = fn
+        fn = jax.jit(
+            lambda *a: inner_fn(*a),
+            compiler_options=tpu_compiler_options(),
         )
 
     feed = (

@@ -15,9 +15,13 @@ cd "$(dirname "$0")/.."
 run() {
   local name="$1" limit="$2" force="$3"
   echo "=== $name (limit_kib=$limit force=$force)" >&2
-  XLA_FLAGS="--xla_tpu_scoped_vmem_limit_kib=$limit" \
+  # NOT via XLA_FLAGS: the local CPU jaxlib's flag parser FATALs on
+  # unknown --xla_tpu_* flags (it killed the probe subprocesses);
+  # P4FR_SCOPED_VMEM_KIB ships the limit as per-compile
+  # compiler_options instead (p4fr_tpu/utils/xla_opts.py)
+  P4FR_SCOPED_VMEM_KIB="$limit" \
   P4FR_V2_FORCE="$force" \
-  BENCH_PROBE_BUDGET=120 \
+  BENCH_PROBE_BUDGET=900 \
   timeout 2400 python bench.py 2>/tmp/vmem_sweep_err.log \
     | tail -1 | sed "s/^/$name /"
   tail -3 /tmp/vmem_sweep_err.log >&2
@@ -26,7 +30,7 @@ run() {
 for row in "${@:-B C D E}"; do
   case "$row" in
     A) echo "=== A baseline" >&2
-       BENCH_PROBE_BUDGET=120 timeout 2400 python bench.py \
+       BENCH_PROBE_BUDGET=900 timeout 2400 python bench.py \
          2>/tmp/vmem_sweep_err.log | tail -1 | sed 's/^/A /';;
     B) run B 24576 "64,32,0";;   # pipelined src (r3's 19us-faster kernels-only)
     C) run C 32768 "64,64,0";;   # + bigger chunks (r2 standalone-fastest)
