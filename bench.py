@@ -585,6 +585,8 @@ def main(argv=None):
         # serves every per-iteration length distribution (incl. sorted
         # batching), unlike the closure-constant hook the other paths use
         stop_sets = _synthetic_stop_sets(args, rng) if args.early_stop else None
+        from p4fr_tpu.utils.xla_opts import scoped_vmem_kib
+
         decode_fn = make_fast_greedy_fn(
             model, variables, max_steps=args.steps, tables=tables,
             use_pallas_v2=args.pallas_v2,
@@ -592,6 +594,10 @@ def main(argv=None):
             stop_override="arg" if args.early_stop else None,
             tiled_cache=True if args.tiled_cache else "auto",
             kv_quant=args.kv_quant,
+            # same options _run_decode_bench ships with the top-level
+            # jit — the kernel-config upgrade and the raised limit that
+            # makes it legal must travel together
+            vmem_limit_kib=scoped_vmem_kib(_decode_opts()) or 0,
         )
         fn = _wrap_stops(jax, decode_fn, variables, args.early_stop)
         path_label = "pallas-v2, " if args.pallas_v2 else "fast-jnp, "
@@ -751,10 +757,14 @@ def _bench_ensemble(args, jax, jnp, rng, vocab, tables, dtype, model,
     return result
 
 
+def _decode_opts():
+    from p4fr_tpu.utils.xla_opts import decode_compiler_options
+
+    return decode_compiler_options()
+
+
 def _run_decode_bench(args, jax, jnp, fn, variables, images, u8_batches,
                       dtype, tables, path_label, stop_sets):
-    from p4fr_tpu.utils.xla_opts import tpu_compiler_options
-
     if not args.device_resident:
         # production feed path (infer/single.py): uint8 in, fused
         # standardize on-device, decode in one compiled program.
@@ -768,16 +778,16 @@ def _run_decode_bench(args, jax, jnp, fn, variables, images, u8_batches,
             lambda v, u8, *rest: inner_fn(
                 v, standardize(u8, out_dtype=dtype), *rest
             ),
-            compiler_options=tpu_compiler_options(),
+            compiler_options=_decode_opts(),
         )
-    elif tpu_compiler_options():
+    elif _decode_opts():
         # device-resident mode: the _wrap'd fn is itself top-level;
         # re-wrap in a passthrough jit that carries the options (the
         # inner jit is inlined, so this is the same program)
         inner_fn = fn
         fn = jax.jit(
             lambda *a: inner_fn(*a),
-            compiler_options=tpu_compiler_options(),
+            compiler_options=_decode_opts(),
         )
 
     feed = (

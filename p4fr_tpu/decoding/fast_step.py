@@ -371,6 +371,7 @@ def pallas_decode_step_v2(
     batch_tile: int = 32,
     chunk: int = 64,
     interpret: bool = False,
+    vmem_limit_kib: int = 0,
 ):
     """One AR step via the flash-decode fused layer kernel
     (ops/pallas/decoder_layer_v2.py): HBM-resident cache, prefix-chunk
@@ -405,6 +406,7 @@ def pallas_decode_step_v2(
             batch_tile=cache_arr.shape[2] if tiled else batch_tile,
             chunk=chunk, max_len=cache_arr.shape[1], fixed_tile=tiled,
             src_quant=quant, cache_quant=cquant,
+            vmem_limit_kib=vmem_limit_kib,
         )
         if cfg is None:
             if cquant:
@@ -542,6 +544,7 @@ def make_fast_greedy_fn(
     stop_override: Optional[jnp.ndarray] = None,
     tiled_cache="auto",
     kv_quant: str = "none",
+    vmem_limit_kib: int = 0,
 ):
     """Greedy decode over the fast step.
 
@@ -580,6 +583,14 @@ def make_fast_greedy_fn(
     probe; the slot DUS then updates only untiled leading dims and each
     prefix-chunk DMA reads one contiguous region). True forces the
     legacy TB=32 tiled layout; False keeps the flat [B, L, 2H] cache.
+
+    ``vmem_limit_kib``: the raised Mosaic scoped-VMEM limit the caller
+    ships with its jit (``compiler_options`` from
+    ``utils.xla_opts.tpu_compiler_options``); unlocks the
+    auto-pipelined-src flagship kernel config (r4 sweep: +0.5% e2e).
+    Pass ``xla_opts.scoped_vmem_kib(opts)`` so the config choice and
+    the compile options stay coupled; 0 (default) keeps the 16MB-safe
+    configs.
     """
     from p4fr_tpu.decoding import manager as dm
 
@@ -605,7 +616,10 @@ def make_fast_greedy_fn(
     stops_as_arg = isinstance(stop_override, str) and stop_override == "arg"
     if use_pallas_v2:
         def step_fn(fast_, token, t, cross_kv, cache):
-            return pallas_decode_step_v2(fast_, token, t, cross_kv, cache)
+            return pallas_decode_step_v2(
+                fast_, token, t, cross_kv, cache,
+                vmem_limit_kib=vmem_limit_kib,
+            )
     elif use_pallas:
         def step_fn(fast_, token, t, cross_kv, cache):
             return pallas_decode_step(
@@ -692,6 +706,7 @@ def make_fast_greedy_fn(
                     fixed_tile=True,
                     src_quant=kv_quant in ("int8", "int8_cache"),
                     cache_quant=kv_quant == "int8_cache",
+                    vmem_limit_kib=vmem_limit_kib,
                 )
                 # any tb>=64 config takes the tile-contiguous cache at
                 # that tile (the picker only yields tb>=64 for the

@@ -164,12 +164,21 @@ def run_inference(
                 )
             else:
                 from p4fr_tpu.decoding.fast_step import make_fast_greedy_fn
+                from p4fr_tpu.utils.xla_opts import (
+                    decode_compiler_options,
+                    scoped_vmem_kib,
+                )
 
                 fused = make_fast_greedy_fn(
                     model, variables, max_steps=num_steps, tables=tables,
                     early_stop_eos=vocab.eos_id if early_stop else None,
                     use_pallas_v2=(kernel == "pallas_v2"),
                     kv_quant=kv_quant,
+                    # coupled to the compiler_options the jit below
+                    # ships (raised scoped-VMEM limit unlocks the
+                    # auto-pipelined-src flagship kernel config)
+                    vmem_limit_kib=scoped_vmem_kib(
+                        decode_compiler_options()) or 0,
                 )
             decode_fn = fused  # dual signature
             dual_sig = True
@@ -226,12 +235,18 @@ def run_inference(
         def decode_fn(v, images_u8):  # noqa: F811
             return inner_pre(v, standardize(images_u8, out_dtype=in_dtype))
 
+    # the raised scoped-VMEM limit rides the TOP-LEVEL jit (inner jits
+    # are inlined); off-TPU this is None and jit takes its default path
+    from p4fr_tpu.utils.xla_opts import decode_compiler_options
+
     if mesh is not None:
         from p4fr_tpu.parallel.sharding import make_sharded_infer_fn
 
-        fn = make_sharded_infer_fn(decode_fn, mesh)
+        fn = make_sharded_infer_fn(
+            decode_fn, mesh, compiler_options=decode_compiler_options()
+        )
     else:
-        fn = jax.jit(decode_fn)
+        fn = jax.jit(decode_fn, compiler_options=decode_compiler_options())
 
     results: List[Tuple[str, str]] = []
     start = time.perf_counter()

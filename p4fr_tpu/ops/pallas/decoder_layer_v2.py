@@ -458,7 +458,7 @@ def pick_v2_config(
     *, batch: int, hidden: int, s_len: int, filter_dim: int,
     itemsize: int = 2, batch_tile: int = 32, chunk: int = 64,
     max_len: int = 0, fixed_tile: bool = False, src_quant: bool = False,
-    cache_quant: bool = False,
+    cache_quant: bool = False, vmem_limit_kib: int = 0,
 ):
     """Largest (batch_tile, chunk, src_hbm) fitting the scoped-VMEM budget.
 
@@ -468,7 +468,17 @@ def pick_v2_config(
     at multi-tile grids). ``fixed_tile`` pins tb to ``batch_tile`` (the
     tiled-cache layout bakes the tile into the allocation, so the kernel
     cannot shrink it). Returns None if nothing fits — callers should fall
-    back to the jnp step."""
+    back to the jnp step.
+
+    ``vmem_limit_kib``: the raised Mosaic scoped-VMEM limit the CALLER
+    will ship with its jit (``jax.jit(compiler_options=
+    xla_opts.tpu_compiler_options(default_kib=...))``). When set, the
+    flagship special case upgrades to the auto-pipelined-src variant
+    (tb=64/ck=32, src_hbm=False) — measured fastest e2e (r4 sweep:
+    1808 vs 1799 img/s) but a compiler-reported 20.12M scoped VMEM in
+    the full greedy program, over the 16MB default. NEVER set it
+    without actually passing the matching compiler_options, or Mosaic
+    rejects the compile."""
     forced = os.environ.get("P4FR_V2_FORCE")
     if forced:
         # EXPERIMENT OVERRIDE: "tb,ck,src_hbm" (e.g. "64,32,0") bypasses
@@ -491,6 +501,17 @@ def pick_v2_config(
             src_quant=src_quant, cache_quant=cache_quant,
         )
 
+    if (not fixed_tile or batch_tile == 64) and batch % 64 == 0 \
+            and 32 in cks and vmem_limit_kib \
+            and not src_quant and not cache_quant:
+        # raised-limit flagship upgrade: auto-pipelined src (the r4
+        # sweep's row B). Estimator reads 22.1M at flagship dims vs the
+        # compiler's 20.12M (~10% conservative, consistent with the
+        # SwinTRN calibration point), so gate directly on the raised
+        # limit. Quantized paths keep their measured src_hbm configs.
+        cand = (64, 32, False)
+        if est(*cand) <= vmem_limit_kib * 1024:
+            return cand
     if (not fixed_tile or batch_tile == 64) and batch % 64 == 0 \
             and 32 in cks:
         # measured fastest PRODUCTION config on v5e at flagship dims:

@@ -88,7 +88,9 @@ def make_sharded_train_step(
     return wrap
 
 
-def make_sharded_infer_fn(decode_fn: Callable, mesh: Mesh) -> Callable:
+def make_sharded_infer_fn(
+    decode_fn: Callable, mesh: Mesh, compiler_options=None
+) -> Callable:
     """Data-parallel wrapper for a greedy/beam decode fn built by
     ``decoding.*.make_*_fn``: images shard over ``data``, params replicate.
     Used for single-model and ensemble inference throughput scaling.
@@ -98,6 +100,10 @@ def make_sharded_infer_fn(decode_fn: Callable, mesh: Mesh) -> Callable:
     batch, and manual SPMD lets each device run the FULL per-shard
     program — including Pallas kernels, which the GSPMD partitioner
     cannot split through a ``pallas_call`` — with zero collectives.
+
+    ``compiler_options`` rides the top-level jit (e.g. the raised
+    scoped-VMEM limit from ``utils.xla_opts.decode_compiler_options``
+    when ``decode_fn`` was built with the matching ``vmem_limit_kib``).
     """
     try:
         from jax import shard_map  # jax >= 0.6 (check_vma kwarg)
@@ -117,7 +123,8 @@ def make_sharded_infer_fn(decode_fn: Callable, mesh: Mesh) -> Callable:
             in_specs=(repl_spec, data_spec),
             out_specs=data_spec,
             **rep_kw,
-        )
+        ),
+        compiler_options=compiler_options,
     )
 
     def run(variables, images):

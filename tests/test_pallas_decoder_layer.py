@@ -252,6 +252,56 @@ def test_pick_v2_config():
     ) == (2, 4, False)
 
 
+def test_pick_v2_config_raised_vmem_limit():
+    """A raised scoped-VMEM limit (shipped via jit compiler_options)
+    upgrades the flagship case to the auto-pipelined src — the r4 sweep
+    winner (1808 vs 1799 img/s e2e) — and ONLY that case: quantized
+    paths and estimator-overflowing shapes keep their configs."""
+    from p4fr_tpu.ops.pallas.decoder_layer_v2 import pick_v2_config
+
+    flagship = dict(batch=256, hidden=256, s_len=128, filter_dim=1024,
+                    itemsize=2, max_len=256)
+    assert pick_v2_config(**flagship, vmem_limit_kib=24576) \
+        == (64, 32, False)
+    # without the raised limit: unchanged production src_hbm config
+    assert pick_v2_config(**flagship) == (64, 32, True)
+    # quantized KV keeps its measured src_hbm config (scale-DMA layouts
+    # are only validated there)
+    assert pick_v2_config(**flagship, vmem_limit_kib=24576,
+                          cache_quant=True) == (64, 32, True)
+    assert pick_v2_config(**flagship, vmem_limit_kib=24576,
+                          src_quant=True) == (64, 32, True)
+    # wide decoder (SwinTRN): pipelined-src estimate overflows even the
+    # raised limit -> falls through to the shrink-to-fit path
+    wide = pick_v2_config(batch=256, hidden=512, s_len=144,
+                          filter_dim=512, itemsize=2, max_len=256,
+                          vmem_limit_kib=24576)
+    assert wide is not None and wide != (64, 32, False)
+    # the tiled-cache auto probe (fixed_tile at the baked tb=64) must
+    # agree with the step's pick so cache layout and kernel config match
+    assert pick_v2_config(**flagship, vmem_limit_kib=24576,
+                          fixed_tile=True, batch_tile=64, chunk=32) \
+        == (64, 32, False)
+
+
+def test_decode_compiler_options_env_and_backend_gating(monkeypatch):
+    """xla_opts: CPU backend -> None (jit default path); env var
+    overrides the production default; '0' disables entirely."""
+    from p4fr_tpu.utils import xla_opts
+
+    # conftest forces the CPU backend, so the TPU-only option must be
+    # withheld no matter what the env says
+    monkeypatch.delenv("P4FR_SCOPED_VMEM_KIB", raising=False)
+    assert xla_opts.decode_compiler_options() is None
+    assert xla_opts.tpu_compiler_options(default_kib=24576) is None
+    monkeypatch.setenv("P4FR_SCOPED_VMEM_KIB", "32768")
+    assert xla_opts.tpu_compiler_options() is None
+    # the kib helper reads whatever dict the jit will actually carry
+    assert xla_opts.scoped_vmem_kib(None) is None
+    assert xla_opts.scoped_vmem_kib(
+        {"xla_tpu_scoped_vmem_limit_kib": 24576}) == 24576
+
+
 def test_tiled_cache_tile_fallback_respects_sublane16():
     """The tiled-cache tile FALLBACK must never bake a tile that is not a
     multiple of the bf16 sublane tile 16 (e.g. b=48 with the default
