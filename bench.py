@@ -139,9 +139,10 @@ def _emit_cpu_fallback(raw_argv, reason):
     note = (
         f"axon TPU tunnel unavailable at bench time ({reason}) — this is "
         "the CPU sanity fallback, NOT chip throughput. Last same-repo TPU "
-        "captures with this code: greedy B=256 1746 img/s "
-        "(tb=64/ck=32/src_hbm), early-stop sorted 3188, train B=64 714; "
-        "see docs/PERFORMANCE.md for methodology"
+        "captures with this code: greedy B=256 1813 img/s (raised-VMEM "
+        "pipelined-src kernel, tiled cache), early-stop sorted 3188, "
+        "kv-int8 1896, train B=64 714; see docs/PERFORMANCE.md for "
+        "methodology"
     )
     result = None
     try:

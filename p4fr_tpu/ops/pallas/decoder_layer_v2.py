@@ -502,13 +502,15 @@ def pick_v2_config(
         )
 
     if (not fixed_tile or batch_tile == 64) and batch % 64 == 0 \
-            and 32 in cks and vmem_limit_kib \
-            and not src_quant and not cache_quant:
+            and 32 in cks and vmem_limit_kib and not cache_quant:
         # raised-limit flagship upgrade: auto-pipelined src (the r4
         # sweep's row B). Estimator reads 22.1M at flagship dims vs the
         # compiler's 20.12M (~10% conservative, consistent with the
         # SwinTRN calibration point), so gate directly on the raised
-        # limit. Quantized paths keep their measured src_hbm configs.
+        # limit. Measured e2e: plain 1813 vs 1799, int8 cross-KV 1896
+        # vs 1852; int8_cache measured WORSE pipelined (1871 vs 1887 —
+        # the quantized chunk stream already hides the src re-read), so
+        # the full-quant path keeps its src_hbm config.
         cand = (64, 32, False)
         if est(*cand) <= vmem_limit_kib * 1024:
             return cand

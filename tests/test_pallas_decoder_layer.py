@@ -265,12 +265,13 @@ def test_pick_v2_config_raised_vmem_limit():
         == (64, 32, False)
     # without the raised limit: unchanged production src_hbm config
     assert pick_v2_config(**flagship) == (64, 32, True)
-    # quantized KV keeps its measured src_hbm config (scale-DMA layouts
-    # are only validated there)
+    # int8 cross-KV takes the upgrade too (measured 1896 vs 1852);
+    # the full-quant cache path measured WORSE pipelined (1871 vs
+    # 1887) and keeps its src_hbm config
+    assert pick_v2_config(**flagship, vmem_limit_kib=24576,
+                          src_quant=True) == (64, 32, False)
     assert pick_v2_config(**flagship, vmem_limit_kib=24576,
                           cache_quant=True) == (64, 32, True)
-    assert pick_v2_config(**flagship, vmem_limit_kib=24576,
-                          src_quant=True) == (64, 32, True)
     # wide decoder (SwinTRN): pipelined-src estimate overflows even the
     # raised limit -> falls through to the shrink-to-fit path
     wide = pick_v2_config(batch=256, hidden=512, s_len=144,
