@@ -8,6 +8,12 @@
 # estimator. Each row is the FULL flagship bench (B=256, 230 steps,
 # manager on, pipelined x8) — kernels-only scans mislead (CLAUDE.md).
 #
+# OUTCOME (r4, recorded in docs/PERFORMANCE.md): B won (1808-1813 vs
+# A 1799; C 1613, E 1672, F 1555, G 1745) and SHIPPED as the
+# production default (xla_opts.DECODE_SCOPED_VMEM_KIB) — so a plain
+# `python bench.py` now reproduces row B, and row A pins
+# P4FR_SCOPED_VMEM_KIB=0 to reproduce the historical baseline.
+#
 # Usage: bash examples/vmem_sweep.sh [row ...]   (default: all rows)
 set -u
 cd "$(dirname "$0")/.."
@@ -29,8 +35,11 @@ run() {
 
 for row in "${@:-B C D E}"; do
   case "$row" in
-    A) echo "=== A baseline" >&2
-       BENCH_PROBE_BUDGET=900 timeout 2400 python bench.py \
+    A) # the 16MB-default src_hbm config: bench.py now ships the
+       # raised limit by default (sweep row B won), so the historical
+       # baseline needs the explicit disable
+       echo "=== A baseline (P4FR_SCOPED_VMEM_KIB=0)" >&2
+       P4FR_SCOPED_VMEM_KIB=0 BENCH_PROBE_BUDGET=900 timeout 2400 python bench.py \
          2>/tmp/vmem_sweep_err.log | tail -1 | sed 's/^/A /';;
     B) run B 24576 "64,32,0";;   # pipelined src (r3's 19us-faster kernels-only)
     C) run C 32768 "64,64,0";;   # + bigger chunks (r2 standalone-fastest)
