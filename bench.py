@@ -543,11 +543,14 @@ def main(argv=None):
         # same synthetic length distribution the greedy hook uses
         stop_sets = _synthetic_stop_sets(args, rng) if args.early_stop \
             else None
+        from p4fr_tpu.utils.xla_opts import scoped_vmem_kib
+
         decode_fn = make_beam_fn(
             model, max_steps=args.steps, beam_width=args.beam_width,
             eos_id=vocab.eos_id, kernel=beam_kernel,
             early_stop=args.early_stop,
             stop_override="arg" if args.early_stop else None,
+            vmem_limit_kib=scoped_vmem_kib(_decode_opts()) or 0,
         )
         fn = jax.jit(decode_fn)
         path_label = f"beam-W{args.beam_width} ({beam_kernel}), "

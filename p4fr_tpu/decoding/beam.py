@@ -49,6 +49,7 @@ def make_beam_fn(
     kernel: str = "auto",
     early_stop: bool = False,
     stop_override=None,
+    vmem_limit_kib: int = 0,
 ) -> Callable:
     """Build fn(variables, images_or_src) -> tokens [B, max_steps].
 
@@ -125,15 +126,16 @@ def make_beam_fn(
             # B*W would degrade its divisor fallback to tiny tiles, so
             # use the (token-identical-class) jnp step instead
             hidden = int(fast.w_gen.shape[0])
-            raw_step = (
-                pallas_decode_step_v2
-                if kernel == "pallas_v2" and BW % 16 == 0
-                and hidden % 128 == 0
-                else fast_decode_step
-            )
+            use_v2 = (kernel == "pallas_v2" and BW % 16 == 0
+                      and hidden % 128 == 0)
+            # vmem_limit_kib (the raised scoped-VMEM limit the caller's
+            # jit ships) lets B*W row counts that fill 64-row tiles take
+            # the auto-pipelined-src kernel config, same as greedy
+            step_kw = {"vmem_limit_kib": vmem_limit_kib} if use_v2 else {}
+            raw_step = pallas_decode_step_v2 if use_v2 else fast_decode_step
 
             def step(token, t, cache):
-                return raw_step(fast, token, t, src_kv, cache)
+                return raw_step(fast, token, t, src_kv, cache, **step_kw)
         elif kernel != "generic" and getattr(
             model, "supports_fast_lstm_decode", False
         ):

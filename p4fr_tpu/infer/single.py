@@ -204,12 +204,17 @@ def run_inference(
             )
     elif decode_type == "beam":
         from p4fr_tpu.decoding.beam import make_beam_fn
+        from p4fr_tpu.utils.xla_opts import (
+            decode_compiler_options,
+            scoped_vmem_kib,
+        )
 
         decode_fn = make_beam_fn(
             model, max_steps=num_steps, beam_width=beam_width,
             eos_id=vocab.eos_id,
             kernel="generic" if kernel == "fused" else kernel,
             early_stop=early_stop,
+            vmem_limit_kib=scoped_vmem_kib(decode_compiler_options()) or 0,
         )
     else:
         raise ValueError(f"decode_type {decode_type}")
