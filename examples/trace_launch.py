@@ -133,11 +133,21 @@ def build_e2e(args):
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         images[:1], text, train=False,
     )
+    # mirror the production jit exactly (raised scoped-VMEM limit +
+    # the pipelined-src kernel it unlocks) so the trace attributes the
+    # program users actually run
+    from p4fr_tpu.utils.xla_opts import (
+        decode_compiler_options,
+        scoped_vmem_kib,
+    )
+
+    opts = decode_compiler_options()
     decode_fn = make_fast_greedy_fn(
         model, variables, max_steps=args.steps,
         tables=RuleTables.build(vocab), use_pallas_v2=on_tpu,
+        vmem_limit_kib=scoped_vmem_kib(opts) or 0,
     )
-    fn = jax.jit(decode_fn)
+    fn = jax.jit(decode_fn, compiler_options=opts)
     enc = jax.jit(
         lambda v, im: model.apply(v, im, method="encode")
     )
