@@ -782,7 +782,17 @@ def make_fast_greedy_fn(
 
             carry0 = (token0, cache)
 
-        _, tokens = jax.lax.scan(body, carry0, jnp.arange(max_steps))
+        # P4FR_SCAN_UNROLL: EXPERIMENT knob probing whether the e2e
+        # trace's first-layer kernel penalty (+43us vs identical L1/L2;
+        # PERFORMANCE.md scoped-VMEM sweep section) is per-loop-boundary
+        # cost — unroll=2 halves boundary crossings, so a per-boundary
+        # penalty amortizes while a per-argmax-chain one does not
+        import os as _os
+
+        unroll = int(_os.environ.get("P4FR_SCAN_UNROLL", "1"))
+        _, tokens = jax.lax.scan(
+            body, carry0, jnp.arange(max_steps), unroll=unroll
+        )
         return tokens.T[:b0]
 
     return fn
