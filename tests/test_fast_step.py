@@ -72,6 +72,25 @@ def test_fast_greedy_matches_slow_greedy(vocab):
     )
 
 
+def test_fast_greedy_scan_unroll_token_identical(vocab, monkeypatch):
+    """P4FR_SCAN_UNROLL (loop-boundary experiment knob, a measured
+    wash on TPU — docs/PERFORMANCE.md) must never change tokens: the
+    unrolled scan runs the same body, including at a T that does not
+    divide the unroll factor."""
+    model, variables, images = _setup()
+    tables = dm.RuleTables.build(vocab)
+    base = jax.jit(
+        make_fast_greedy_fn(model, variables, max_steps=T, tables=tables)
+    )
+    ref = np.asarray(base(images))
+    assert T % 4 != 0  # exercise the remainder path
+    monkeypatch.setenv("P4FR_SCAN_UNROLL", "4")
+    unrolled = jax.jit(
+        make_fast_greedy_fn(model, variables, max_steps=T, tables=tables)
+    )
+    np.testing.assert_array_equal(ref, np.asarray(unrolled(images)))
+
+
 def test_fast_greedy_early_stop(vocab):
     model, variables, images = _setup()
     fast = jax.jit(
