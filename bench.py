@@ -363,12 +363,20 @@ def main(argv=None):
     vocab = Vocab.from_files(["p4fr_tpu/configs/tokens.txt"])
     options = Flags(f"p4fr_tpu/configs/{args.network}.yaml").get()
     if args.quick:
-        options.input_size.height = 64
-        options.input_size.width = 128
-        if hasattr(options, "SATRN"):
-            options.SATRN.encoder.layer_num = 1
+        if options.network == "SWIN":
+            # Swin-B's window-12 stages only tile 384-divisible inputs
+            # (the 64x128 shrink crashed the --network SWIN outage
+            # fallback); keep the native resolution, shrink the decoder
+            # and batch instead
             options.SATRN.decoder.layer_num = 1
-        args.batch = min(args.batch, 4)
+            args.batch = min(args.batch, 2)
+        else:
+            options.input_size.height = 64
+            options.input_size.width = 128
+            if hasattr(options, "SATRN"):
+                options.SATRN.encoder.layer_num = 1
+                options.SATRN.decoder.layer_num = 1
+            args.batch = min(args.batch, 4)
         args.steps = min(args.steps, 16)
         args.iters = 2
 
