@@ -251,6 +251,12 @@ def main(argv=None):
                         help="beam = batched lockstep beam search "
                         "(decoding/beam.py) at --beam-width")
     parser.add_argument("--beam-width", type=int, default=3)
+    parser.add_argument("--beam-gather", default="auto",
+                        choices=("auto", "jnp", "pallas"),
+                        help="parent-beam cache reorder path: the "
+                        "in-place tile-skipping Pallas kernel "
+                        "(ops/pallas/beam_gather.py; 'auto' picks it on "
+                        "TPU when shapes fit) vs the bounded jnp gather")
     parser.add_argument("--ensemble", action="store_true",
                         help="benchmark the HBM-resident joint ensemble "
                         "(--network + --ensemble-members): per-model "
@@ -559,9 +565,13 @@ def main(argv=None):
             early_stop=args.early_stop,
             stop_override="arg" if args.early_stop else None,
             vmem_limit_kib=scoped_vmem_kib(_decode_opts()) or 0,
+            gather_kernel=args.beam_gather,
         )
         fn = jax.jit(decode_fn)
-        path_label = f"beam-W{args.beam_width} ({beam_kernel}), "
+        path_label = (
+            f"beam-W{args.beam_width} ({beam_kernel}, "
+            f"gather={args.beam_gather}), "
+        )
         return _run_decode_bench(args, jax, jnp, fn, variables, images,
                                  u8_batches, dtype, tables, path_label,
                                  stop_sets)

@@ -50,6 +50,7 @@ def make_beam_fn(
     early_stop: bool = False,
     stop_override=None,
     vmem_limit_kib: int = 0,
+    gather_kernel: str = "auto",
 ) -> Callable:
     """Build fn(variables, images_or_src) -> tokens [B, max_steps].
 
@@ -66,6 +67,14 @@ def make_beam_fn(
     EfficientSATRN.py:758-764). Token-identical to the full scan —
     finished beams only ever extend with zero-cost <PAD>, which is
     exactly what the unfilled tail of the preallocated buffers holds.
+
+    ``gather_kernel``: how the per-step parent-beam cache reorder runs.
+    "jnp" is the bounded fori_loop-of-take path; "pallas" is the
+    in-place tile-skipping kernel (ops/pallas/beam_gather.py — skips
+    all traffic for row tiles whose parents are identity, the thing the
+    measured-regressive lax.cond wrapper could not do); "auto" picks
+    pallas on TPU for cache leaves whose shapes satisfy
+    ``gather_supported``. Token-identical either way.
 
     ``stop_override`` (requires ``early_stop``): benchmarking hook
     mirroring the greedy one (fast_step.py): every beam of sample ``i``
@@ -87,6 +96,8 @@ def make_beam_fn(
     from p4fr_tpu.decoding.fast_step import resolve_kernel
 
     kernel = resolve_kernel(kernel)
+    if gather_kernel not in ("auto", "pallas", "jnp"):
+        raise ValueError(f"unknown gather_kernel {gather_kernel!r}")
     use_fast = kernel != "generic" and getattr(
         model, "supports_fast_decode", False
     )
@@ -218,6 +229,26 @@ def make_beam_fn(
             def gather_leaf(a):
                 if not (a.ndim >= 2 and a.shape[0] == BW):
                     return a
+                if gather_kernel != "jnp" and a.ndim == 3:
+                    from p4fr_tpu.ops.pallas.beam_gather import (
+                        beam_parent_gather,
+                        gather_supported,
+                    )
+
+                    interp = jax.default_backend() != "tpu"
+                    fits = gather_supported(
+                        a.shape, a.dtype, W, interpret=interp
+                    )
+                    if gather_kernel == "pallas" and not fits:
+                        raise ValueError(
+                            "gather_kernel='pallas' forced but cache leaf "
+                            f"{a.shape}/{a.dtype} fails gather_supported"
+                        )
+                    if fits and (gather_kernel == "pallas"
+                                 or not interp):
+                        return beam_parent_gather(
+                            a, parent_flat, t, group=W, interpret=interp
+                        )
                 slot_len = a.shape[1] if a.ndim == 3 else 0
                 if slot_len >= 2 * slot_chunk and slot_len % slot_chunk == 0:
                     n = t // slot_chunk + 1  # chunks covering slots 0..t
