@@ -111,3 +111,25 @@ def test_beam_e2e_token_identity_with_pallas_gather():
     t_ref = np.asarray(ref(variables, images))
     t_got = np.asarray(got(variables, images))
     np.testing.assert_array_equal(t_ref, t_got)
+
+
+def test_beam_early_stop_e2e_with_pallas_gather():
+    """The serving config that produced the headline beam number: the
+    early-stop while_loop with per-sample stop injection, pallas gather
+    forced — token-identical to the jnp-gather path."""
+    from p4fr_tpu.decoding.beam import make_beam_fn
+
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(4))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, jnp.zeros((4, 8), jnp.int32), train=False,
+    )
+    stops = jnp.asarray([2, 5, 3, 8], jnp.int32)
+    kw = dict(max_steps=8, beam_width=3, eos_id=1, kernel="jnp",
+              early_stop=True, stop_override="arg")
+    ref = make_beam_fn(model, gather_kernel="jnp", **kw)
+    got = make_beam_fn(model, gather_kernel="pallas", **kw)
+    t_ref = np.asarray(ref(variables, images, stops))
+    t_got = np.asarray(got(variables, images, stops))
+    np.testing.assert_array_equal(t_ref, t_got)
