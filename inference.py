@@ -65,6 +65,14 @@ def build_parser() -> argparse.ArgumentParser:
         "Numerics change bounded by int8 rounding — never a default",
     )
     parser.add_argument(
+        "--beam_gather", default="auto",
+        choices=["auto", "pallas", "jnp"],
+        help="beam-search parent cache reorder (decode_type=beam only): "
+        "auto picks the in-place tile-skipping Pallas kernel on TPU "
+        "when shapes fit (ops/pallas/beam_gather.py), jnp is the "
+        "bounded fori_loop-of-take path. Token-identical either way",
+    )
+    parser.add_argument(
         "--early_stop", type=str2bool, default=False,
         help="exit the decode loop once every sequence emits <EOS> "
         "(output-equivalent; the reference always runs all steps)",
@@ -100,6 +108,10 @@ def main(argv=None):
         args.decode_type = "greedy"
     if args.inference_type == "ensemble" and args.kv_quant != "none":
         parser.error("--kv_quant is single-inference only")
+    if args.beam_gather != "auto" and args.decode_type != "beam":
+        # mirror the --kv_quant honesty rule: never silently ignore a
+        # performance knob the selected path cannot honor
+        parser.error("--beam_gather applies to --decode_type beam only")
 
     module = importlib.import_module(
         f"p4fr_tpu.infer.{args.inference_type}"

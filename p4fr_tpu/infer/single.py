@@ -101,6 +101,7 @@ def run_inference(
     kernel: str = "auto",
     preprocess: str = "device",
     kv_quant: str = "none",
+    beam_gather: str = "auto",
 ) -> List[Tuple[str, str]]:
     """``kernel`` selects the greedy decode implementation: "auto" picks
     "pallas_v2" on TPU (measured fastest: the flash-decode fused-layer
@@ -120,7 +121,12 @@ def run_inference(
     ("int8" = int8 cross-K/V, "int8_cache" = + int8 self-cache; see
     decoding/fast_step.make_fast_greedy_fn). A numerics change (bounded
     by int8 rounding) — never a default; rejected on paths that would
-    silently ignore it."""
+    silently ignore it.
+
+    ``beam_gather``: the per-step parent-beam cache reorder for
+    decode_type="beam" — "auto" (Pallas tile-skipping in-place kernel
+    on TPU when shapes fit, ops/pallas/beam_gather.py), "pallas", or
+    "jnp" (bounded fori_loop-of-take). Token-identical either way."""
     model, variables, options, vocab, _ = load_model_from_checkpoint(
         checkpoint_path
     )
@@ -215,6 +221,7 @@ def run_inference(
             kernel="generic" if kernel == "fused" else kernel,
             early_stop=early_stop,
             vmem_limit_kib=scoped_vmem_kib(decode_compiler_options()) or 0,
+            gather_kernel=beam_gather,
         )
     else:
         raise ValueError(f"decode_type {decode_type}")
@@ -346,5 +353,6 @@ def main(parser):
         kernel=getattr(parser, "kernel", "auto"),
         preprocess=getattr(parser, "preprocess", "device"),
         kv_quant=getattr(parser, "kv_quant", "none"),
+        beam_gather=getattr(parser, "beam_gather", "auto"),
         mesh=mesh,
     )

@@ -166,6 +166,48 @@ def test_kv_quant_cli_runs_and_guards(tmp_path, tokens_path):
         )
 
 
+def test_beam_cli_and_gather_guard(tmp_path, tokens_path):
+    """--decode_type beam runs end-to-end through the CLI with an
+    explicit --beam_gather selection, and the knob hard-errors on
+    decode paths that would silently ignore it (greedy)."""
+    import inference as infer_cli
+    from p4fr_tpu.train import single_opt
+
+    gt = make_synth_dataset(str(tmp_path), n=4, folds=2)
+    options = tiny_train_options(gt, tokens_path, epochs=1, batch_size=2)
+    single_opt.main(options, max_label_len=10)
+    ckpt = os.path.join(
+        options.prefix, "checkpoints", "LiteSATRN_best_model.ckpt"
+    )
+    inp = tmp_path / "input.txt"
+    names = sorted(os.listdir(tmp_path / "images"))
+    inp.write_text("".join(n + "\t\n" for n in names))
+
+    base_args = [
+        "--inference_type", "single", "--checkpoint", ckpt,
+        "--file_path", str(inp), "--max_sequence", "6",
+        "--batch_size", "4", "--decode_type", "beam",
+    ]
+    auto = infer_cli.main(
+        base_args + ["--output_dir", str(tmp_path / "ba")]
+    )
+    forced = infer_cli.main(
+        base_args + ["--output_dir", str(tmp_path / "bj"),
+                     "--beam_gather", "jnp"]
+    )
+    assert len(auto) == len(names)
+    assert dict(forced) == dict(auto)
+
+    # greedy decode does not consume beam_gather -> argparse-layer error
+    with pytest.raises(SystemExit):
+        infer_cli.main(
+            ["--inference_type", "single", "--checkpoint", ckpt,
+             "--file_path", str(inp),
+             "--output_dir", str(tmp_path / "bg"),
+             "--beam_gather", "jnp"]
+        )
+
+
 def test_data_parallel_rejects_indivisible_batch(tmp_path, tokens_path):
     from p4fr_tpu.infer.single import default_mesh
 
