@@ -83,11 +83,15 @@ def build_parser() -> argparse.ArgumentParser:
         "(jax.sharding data-parallel mesh); batch_size must divide evenly",
     )
     parser.add_argument(
-        "--preprocess", default="device", choices=["device", "host"],
+        "--preprocess", default="device",
+        choices=["device", "device_resize", "host"],
         help="device = ship resized uint8 and standardize on-device "
         "(Pallas fused normalize, 4x less H2D bandwidth; default); "
-        "host = legacy cv2-normalized float32 feed (bit-exact "
-        "albumentations parity)",
+        "device_resize = ship RAW uint8 on an edge-replicated canvas "
+        "and run the cv2-convention bilinear resize + standardize "
+        "on-device too (frees the host of all pixel math; single "
+        "inference only); host = legacy cv2-normalized float32 feed "
+        "(bit-exact albumentations parity)",
     )
     parser.add_argument("--file_path", required=True, help="input.txt TSV")
     parser.add_argument("--output_dir", default="./outputs")
@@ -108,6 +112,11 @@ def main(argv=None):
         args.decode_type = "greedy"
     if args.inference_type == "ensemble" and args.kv_quant != "none":
         parser.error("--kv_quant is single-inference only")
+    if args.inference_type == "ensemble" and args.preprocess == "device_resize":
+        # ensemble members decode at per-model resolutions; the canvas
+        # feed is wired for the single path only (honesty rule: reject
+        # rather than silently fall back)
+        parser.error("--preprocess device_resize is single-inference only")
     if args.beam_gather != "auto" and args.decode_type != "beam":
         # mirror the --kv_quant honesty rule: never silently ignore a
         # performance knob the selected path cannot honor

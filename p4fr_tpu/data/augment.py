@@ -96,6 +96,31 @@ def grid_distortion(
     )
 
 
+def to_canvas(
+    image: np.ndarray, canvas_h: int, canvas_w: int
+) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Raw uint8 image -> (edge-replicated [canvas_h, canvas_w, C] canvas,
+    original (h, w)).
+
+    Host half of the device-resize feed: the bilinear resize samples at
+    most 0.5 px past the valid region (half-pixel convention), so
+    edge-replicated padding makes the device resize of the canvas's
+    valid window exactly reproduce cv2's boundary-clamped resize of the
+    original image.
+    """
+    if image.ndim == 2:
+        image = image[:, :, None]
+    h, w = image.shape[:2]
+    if h > canvas_h or w > canvas_w:
+        raise ValueError(
+            f"image {h}x{w} exceeds the canvas {canvas_h}x{canvas_w}"
+        )
+    out = np.pad(
+        image, ((0, canvas_h - h), (0, canvas_w - w), (0, 0)), mode="edge"
+    )
+    return np.ascontiguousarray(out), (h, w)
+
+
 class Transform:
     """Callable pipeline mirroring get_{train,valid,test}_transforms."""
 
@@ -109,6 +134,7 @@ class Transform:
         aug_prob: float = 0.3,
         seed: Optional[int] = None,
         normalize: bool = True,
+        canvas: Optional[Tuple[int, int]] = None,
     ):
         self.height = height
         self.width = width
@@ -118,12 +144,24 @@ class Transform:
         self.rng = np.random.default_rng(seed)
         # normalize=False ships resized uint8 and defers the ImageNet
         # standardization to the device (ops/pallas/preprocess.standardize):
-        # 4x less host->device bandwidth on the inference hot path.
+        # 4x less H2D bandwidth on the inference hot path.
         self.normalize = normalize
+        # canvas=(Hc, Wc): skip the host resize too — return the raw u8
+        # image on an edge-replicated fixed canvas plus its valid (h, w);
+        # the bilinear resize then runs ON DEVICE fused with the
+        # standardization (ops/pallas/preprocess.resize_standardize).
+        # Eval-only (train augments operate on the host-resized image).
+        self.canvas = canvas
+        if canvas is not None and (train or normalize):
+            raise ValueError("canvas mode is eval-only and implies "
+                             "normalize=False (device-side standardize)")
 
-    def __call__(self, image: np.ndarray) -> np.ndarray:
+    def __call__(self, image: np.ndarray):
         """uint8 HWC (or HW) -> float32 HWC normalized
-        (or resized uint8 HWC when ``normalize=False``)."""
+        (or resized uint8 HWC when ``normalize=False``,
+        or ``(canvas_u8, (h, w))`` when ``canvas`` is set)."""
+        if self.canvas is not None:
+            return to_canvas(image, *self.canvas)
         image = resize(image, self.height, self.width)
         if self.train:
             if self.rng.random() < self.aug_prob:
@@ -141,8 +179,13 @@ def get_train_transforms(height, width, rgb=3, seed=None) -> Transform:
     return Transform(height, width, train=True, rgb=rgb, seed=seed)
 
 
-def get_valid_transforms(height, width, rgb=3, normalize=True) -> Transform:
-    return Transform(height, width, train=False, rgb=rgb, normalize=normalize)
+def get_valid_transforms(
+    height, width, rgb=3, normalize=True, canvas=None
+) -> Transform:
+    return Transform(
+        height, width, train=False, rgb=rgb, normalize=normalize,
+        canvas=canvas,
+    )
 
 
 def get_test_transforms(height, width, rgb=3) -> Transform:

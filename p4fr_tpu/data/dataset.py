@@ -105,7 +105,13 @@ class LoadDataset:
         image = load_image(item["path"], self.rgb, self.crop)
         if self.transform is not None:
             image = self.transform(image)
-        return {"path": item["path"], "truth": item["truth"], "image": image}
+        out = {"path": item["path"], "truth": item["truth"], "image": image}
+        if isinstance(image, tuple):
+            # canvas transform: (canvas_u8, (h, w)) — the device resize
+            # needs each image's valid extent (augment.to_canvas)
+            out["image"], (h, w) = image
+            out["orig_hw"] = np.array([h, w], np.int32)
+        return out
 
 
 class LoadEvalDataset(LoadDataset):

@@ -46,6 +46,11 @@ def collate(
         if stacked.dtype != np.uint8:
             stacked = stacked.astype(np.float32)
         batch[key] = stacked
+    if "orig_hw" in items[0]:
+        # canvas feed (device-side resize): per-image valid extents
+        batch["orig_hw"] = np.stack(
+            [d["orig_hw"] for d in items]
+        ).astype(np.int32)
     return batch
 
 

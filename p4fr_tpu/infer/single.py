@@ -51,14 +51,28 @@ def load_model_from_checkpoint(checkpoint_path: str, dtype=None):
     return model, variables, options, vocab, ckpt
 
 
+def canvas_for(paths, round_to: int = 8):
+    """Fixed canvas (Hc, Wc) covering every image: max dims from the PNG
+    headers (no pixel decode), after the reference's rotate-if-h/w>2
+    quirk (data.dataset.load_image), rounded up for tidy device tiling."""
+    from PIL import Image
+
+    max_h = max_w = 1
+    for p in paths:
+        with Image.open(p) as im:
+            w, h = im.size
+        if h / w > 2:
+            h, w = w, h
+        max_h, max_w = max(max_h, h), max(max_w, w)
+    up = lambda v: -(-v // round_to) * round_to  # noqa: E731
+    return up(max_h), up(max_w)
+
+
 def build_eval_loader(
     file_path: str, options, vocab: Vocab, batch_size: int, max_sequence: int,
     *, host_normalize: bool = True, sort_by_size: bool = False,
+    device_resize: bool = False,
 ):
-    transform = get_valid_transforms(
-        options.input_size.height, options.input_size.width, options.data.rgb,
-        normalize=host_normalize,
-    )
     dummy_gt = "\\sin " * max_sequence  # fixes decode length, reference trick
     root = os.path.join(os.path.dirname(file_path), "images")
     with open(file_path, "r") as fd:
@@ -66,6 +80,12 @@ def build_eval_loader(
     test_data = [
         (os.path.join(root, r[0]), r[0], dummy_gt.strip()) for r in rows
     ]
+    transform = get_valid_transforms(
+        options.input_size.height, options.input_size.width, options.data.rgb,
+        normalize=host_normalize,
+        canvas=canvas_for(p for p, _, _ in test_data)
+        if device_resize else None,
+    )
     dataset = LoadEvalDataset(
         test_data,
         vocab.token_to_id,
@@ -114,7 +134,12 @@ def run_inference(
     fuses the ImageNet standardization into the compiled program
     (ops/pallas/preprocess.standardize — 4x less H2D bandwidth than the
     reference's host-normalized float feed,
-    inference_modules/inference_single.py:52-74); "host" is the legacy
+    inference_modules/inference_single.py:52-74); "device_resize" also
+    moves the bilinear resize on-device (host ships raw u8 images on an
+    edge-replicated fixed canvas + per-image extents; cv2-convention
+    resize + standardize compile into the decode program — frees the
+    host CPU of all pixel math, at the cost of canvas-sized transfers;
+    see ops/pallas/preprocess.resize_standardize); "host" is the legacy
     cv2-normalized float32 path (bit-exact albumentations parity).
 
     ``kv_quant``: OPT-IN decode KV quantization on the fast greedy path
@@ -130,7 +155,9 @@ def run_inference(
     model, variables, options, vocab, _ = load_model_from_checkpoint(
         checkpoint_path
     )
-    device_preprocess = preprocess == "device"
+    if preprocess not in ("device", "device_resize", "host"):
+        raise ValueError(f"preprocess {preprocess!r}")
+    device_preprocess = preprocess != "host"
     # early-exit decode runs each batch's while_loop to the BATCH max
     # length: grouping similar-length images (wide aspect ~ long formula)
     # turns per-batch maxima into the actual length distribution
@@ -138,6 +165,7 @@ def run_inference(
         file_path, options, vocab, batch_size, max_sequence,
         host_normalize=not device_preprocess,
         sort_by_size=early_stop and decode_type == "greedy",
+        device_resize=preprocess == "device_resize",
     )
 
     tables = RuleTables.build(vocab) if decoding_manager else None
@@ -238,7 +266,23 @@ def run_inference(
         inner = decode_fn
         decode_fn = lambda v, im: inner(im)  # noqa: E731
 
-    if device_preprocess:
+    if preprocess == "device_resize":
+        from p4fr_tpu.ops.pallas.preprocess import resize_standardize
+
+        inner_pre = decode_fn
+        in_dtype = model.dtype
+        th = options.input_size.height
+        tw = options.input_size.width
+
+        def decode_fn(v, images):  # noqa: F811
+            canvas_u8, orig_hw = images
+            return inner_pre(
+                v,
+                resize_standardize(
+                    canvas_u8, orig_hw, th, tw, out_dtype=in_dtype
+                ),
+            )
+    elif device_preprocess:
         from p4fr_tpu.ops.pallas.preprocess import standardize
 
         inner_pre = decode_fn
@@ -283,6 +327,10 @@ def run_inference(
     pending = None
     for batch in loader:
         images = jnp.asarray(batch["image"])
+        if preprocess == "device_resize":
+            # (canvas, extents) pytree: shard_map's prefix in_spec
+            # applies P("data") to both leaves under --data_parallel
+            images = (images, jnp.asarray(batch["orig_hw"]))
         tokens = fn(variables, images)
         if pending is not None:
             flush(pending)

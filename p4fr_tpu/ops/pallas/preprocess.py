@@ -94,18 +94,56 @@ def standardize(images: jnp.ndarray, out_dtype=jnp.bfloat16) -> jnp.ndarray:
     return _standardize_jnp(images, out_dtype=out_dtype)
 
 
-def resize_and_standardize(
-    images_u8: jnp.ndarray, height: int, width: int, out_dtype=jnp.bfloat16
+@functools.partial(
+    jax.jit, static_argnames=("height", "width", "out_dtype")
+)
+def resize_standardize(
+    canvas_u8: jnp.ndarray,
+    orig_hw: jnp.ndarray,
+    height: int,
+    width: int,
+    out_dtype=jnp.bfloat16,
 ) -> jnp.ndarray:
-    """Device-side bilinear resize (XLA) + fused normalize (Pallas).
+    """Device-side per-image bilinear resize + ImageNet standardization.
 
-    Replaces the host cv2 resize+normalize for the inference hot path:
-    the host only decodes and stacks raw uint8 images.
+    ``canvas_u8``: [B, Hc, Wc, C] uint8 — each image edge-replicated onto
+    a fixed canvas by ``data.augment.to_canvas``; ``orig_hw``: [B, 2]
+    int32 valid extents. Output: [B, height, width, C] ``out_dtype``.
+
+    Replaces the host cv2 Resize+Normalize of the eval feed
+    (reference data/augmentations.py valid pipeline) with one compiled
+    program: ``jax.image.scale_and_translate`` with ``scale = out/valid``
+    and zero translation samples at ``(i + 0.5) * valid/out - 0.5`` —
+    exactly cv2's INTER_LINEAR half-pixel convention — and the
+    edge-replicated canvas reproduces cv2's boundary clamp, so the only
+    difference from the host path is cv2's u8 fixed-point rounding
+    (<= 1 LSB per pixel). ``antialias=False`` matches cv2 (no low-pass
+    on downscale). The per-image scales are traced values: one compile
+    serves every (h, w) mix, and the two weight-matrix contractions run
+    on the MXU. The standardization is algebraically hoisted after the
+    (linear) resize so it touches H*W, not Hc*Wc, pixels; XLA fuses it
+    into the resize epilogue, so no separate Pallas pass is needed.
     """
-    mean, std = _stats_for(images_u8.shape[-1])
-    x = images_u8.astype(jnp.float32)
-    x = jax.image.resize(
-        x, (x.shape[0], height, width, x.shape[3]), method="bilinear"
-    )
+    _, _, _, c = canvas_u8.shape
+    mean, std = _stats_for(c)
+    out_shape = (height, width, c)
+
+    def one(img: jnp.ndarray, hw: jnp.ndarray) -> jnp.ndarray:
+        scale = jnp.stack(
+            [height / hw[0].astype(jnp.float32),
+             width / hw[1].astype(jnp.float32)]
+        )
+        return jax.image.scale_and_translate(
+            img.astype(jnp.float32),
+            out_shape,
+            (0, 1),
+            scale,
+            jnp.zeros((2,), jnp.float32),
+            method="linear",
+            antialias=False,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    x = jax.vmap(one)(canvas_u8, orig_hw)
     x = (x / 255.0 - mean) / std
     return x.astype(out_dtype)

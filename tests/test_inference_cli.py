@@ -120,6 +120,14 @@ def test_early_stop_sorted_batching_preserves_outputs(tmp_path, tokens_path):
     rows = (tmp_path / "o2" / "output.csv").read_text().splitlines()
     assert [r.split("\t")[0] for r in rows] == names
 
+    # device-side resize feed: raw-canvas batches + on-device cv2-style
+    # bilinear resize reproduce the host-preprocessed predictions
+    resize_run = infer_cli.main(
+        base_args + ["--output_dir", str(tmp_path / "o3"),
+                     "--preprocess", "device_resize"]
+    )
+    assert dict(resize_run) == dict(plain)
+
 
 def test_kv_quant_cli_runs_and_guards(tmp_path, tokens_path):
     """--kv_quant int8 runs end-to-end through the CLI (CPU reproduces
