@@ -89,9 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
         "(Pallas fused normalize, 4x less H2D bandwidth; default); "
         "device_resize = ship RAW uint8 on an edge-replicated canvas "
         "and run the cv2-convention bilinear resize + standardize "
-        "on-device too (frees the host of all pixel math; single "
-        "inference only); host = legacy cv2-normalized float32 feed "
-        "(bit-exact albumentations parity)",
+        "on-device too (frees the host of all pixel math; for "
+        "ensembles ONE canvas batch serves every member's resolution); "
+        "host = legacy cv2-normalized float32 feed (bit-exact "
+        "albumentations parity)",
     )
     parser.add_argument("--file_path", required=True, help="input.txt TSV")
     parser.add_argument("--output_dir", default="./outputs")
@@ -112,11 +113,6 @@ def main(argv=None):
         args.decode_type = "greedy"
     if args.inference_type == "ensemble" and args.kv_quant != "none":
         parser.error("--kv_quant is single-inference only")
-    if args.inference_type == "ensemble" and args.preprocess == "device_resize":
-        # ensemble members decode at per-model resolutions; the canvas
-        # feed is wired for the single path only (honesty rule: reject
-        # rather than silently fall back)
-        parser.error("--preprocess device_resize is single-inference only")
     if args.beam_gather != "auto" and args.decode_type != "beam":
         # mirror the --kv_quant honesty rule: never silently ignore a
         # performance knob the selected path cannot honor

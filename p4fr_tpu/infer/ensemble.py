@@ -16,6 +16,10 @@ grammar masking inline. ``--max_cache`` is accepted as a no-op compat shim.
 
 Per-model input resolutions follow each checkpoint's embedded config, like
 the reference's per-architecture dataloaders (inference_ensemble.py:72-109).
+With ``--preprocess device_resize`` the host loads each image ONCE onto a
+shared raw-u8 canvas and every member's encoder resizes to its own
+resolution on device (ops/pallas/preprocess.resize_standardize): one PNG
+decode and one H2D transfer per image instead of len(models) of each.
 """
 
 from __future__ import annotations
@@ -207,12 +211,24 @@ def run_ensemble(
     variables_list = [l[1] for l in loaded]
     options_list = [l[2] for l in loaded]
     vocab: Vocab = loaded[0][3]
-    device_preprocess = preprocess == "device"
+    if preprocess not in ("device", "device_resize", "host"):
+        raise ValueError(f"preprocess {preprocess!r}")
+    device_preprocess = preprocess != "host"
+    device_resize = preprocess == "device_resize"
+    if device_resize and len({o.data.rgb for o in options_list}) > 1:
+        raise ValueError(
+            "--preprocess device_resize shares ONE raw canvas batch "
+            "across members; members must agree on data.rgb"
+        )
 
     # per-model eval transform at its own resolution; with device
     # preprocessing the host only resizes uint8 and each encoder fuses the
-    # standardization into its compiled program (preprocess.standardize)
-    transforms = [
+    # standardization into its compiled program (preprocess.standardize).
+    # device_resize goes further: the host loads each image ONCE onto a
+    # shared edge-replicated canvas and every member's encoder resizes to
+    # its own resolution on device (preprocess.resize_standardize) — one
+    # H2D transfer and one PNG decode instead of len(models) of each
+    transforms = None if device_resize else [
         get_valid_transforms(
             o.input_size.height, o.input_size.width, o.data.rgb,
             normalize=not device_preprocess,
@@ -224,6 +240,10 @@ def run_ensemble(
     with open(file_path, "r") as fd:
         rows = [r for r in csv.reader(fd, delimiter="\t") if r]
     names = [r[0] for r in rows]
+    if device_resize:
+        from p4fr_tpu.infer.single import canvas_for
+
+        canvas_hw = canvas_for(os.path.join(root, n) for n in names)
 
     tables = dm.RuleTables.build(vocab) if decoding_manager else None
     num_steps = max_sequence + 1  # reference ensemble num_steps
@@ -232,7 +252,24 @@ def run_ensemble(
         early_stop_eos=vocab.eos_id if early_stop else None,
         kernel=kernel,
     )
-    def encode_fn(model):
+    def encode_fn(model, options):
+        if device_resize:
+            from p4fr_tpu.ops.pallas.preprocess import resize_standardize
+
+            th = options.input_size.height
+            tw = options.input_size.width
+
+            def enc(v, im, m=model, th=th, tw=tw):
+                canvas_u8, orig_hw = im
+                return m.apply(
+                    v,
+                    resize_standardize(
+                        canvas_u8, orig_hw, th, tw, out_dtype=m.dtype
+                    ),
+                    method="encode",
+                )
+
+            return enc
         if device_preprocess:
             from p4fr_tpu.ops.pallas.preprocess import standardize
 
@@ -255,12 +292,15 @@ def run_ensemble(
 
         decode = make_sharded_infer_fn(decode_fn, mesh)
         encoders = [
-            make_sharded_infer_fn(encode_fn(model), mesh)
-            for model in models
+            make_sharded_infer_fn(encode_fn(model, options), mesh)
+            for model, options in zip(models, options_list)
         ]
     else:
         decode = jax.jit(decode_fn)
-        encoders = [jax.jit(encode_fn(model)) for model in models]
+        encoders = [
+            jax.jit(encode_fn(model, options))
+            for model, options in zip(models, options_list)
+        ]
 
     results: List[Tuple[str, str]] = []
     start = time.perf_counter()
@@ -284,22 +324,47 @@ def run_ensemble(
         chunk = names[chunk_start : chunk_start + batch_size]
         count = len(chunk)
         padded = chunk + [chunk[-1]] * (batch_size - count)
-        # each model encodes its own resolution-specific batch
-        memories = []
-        for model, variables, transform, options in zip(
-            models, variables_list, transforms, options_list
-        ):
-            imgs = np.stack(
-                [
-                    transform(
-                        load_image(os.path.join(root, n), options.data.rgb)
-                    )
-                    for n in padded
-                ]
+        if device_resize:
+            # ONE canvas batch serves every member: each encoder's
+            # program resizes to its own resolution on device
+            from p4fr_tpu.data.augment import to_canvas
+
+            rgb = options_list[0].data.rgb
+            pairs = [
+                to_canvas(
+                    load_image(os.path.join(root, n), rgb), *canvas_hw
+                )
+                for n in padded
+            ]
+            shared = (
+                jnp.asarray(np.stack([c for c, _ in pairs])),
+                jnp.asarray(np.array([d for _, d in pairs], np.int32)),
             )
-            if imgs.dtype != np.uint8:
-                imgs = imgs.astype(np.float32)
-            memories.append(encoders[len(memories)](variables, jnp.asarray(imgs)))
+            memories = [
+                enc(v, shared)
+                for enc, v in zip(encoders, variables_list)
+            ]
+        else:
+            # each model encodes its own resolution-specific batch
+            memories = []
+            for model, variables, transform, options in zip(
+                models, variables_list, transforms, options_list
+            ):
+                imgs = np.stack(
+                    [
+                        transform(
+                            load_image(
+                                os.path.join(root, n), options.data.rgb
+                            )
+                        )
+                        for n in padded
+                    ]
+                )
+                if imgs.dtype != np.uint8:
+                    imgs = imgs.astype(np.float32)
+                memories.append(
+                    encoders[len(memories)](variables, jnp.asarray(imgs))
+                )
         tokens = decode(variables_list, memories)
         if pending is not None:
             flush(pending)

@@ -62,6 +62,21 @@ def test_ensemble_cli_two_models(tmp_path, tokens_path):
     )
     assert dict(dp_results) == dict(results)
 
+    # shared raw-canvas feed: ONE u8 canvas batch, each member resizes
+    # to its own resolution on device — same predictions again
+    dr_results = infer_cli.main(
+        [
+            "--inference_type", "ensemble",
+            "--checkpoint", *ckpts,
+            "--file_path", str(inp),
+            "--output_dir", str(tmp_path / "out_dr"),
+            "--max_sequence", "6",
+            "--batch_size", "4",
+            "--preprocess", "device_resize",
+        ]
+    )
+    assert dict(dr_results) == dict(results)
+
 
 def test_aster_beam_decode():
     """Beam search must work for the LSTM family too (reference parity:
