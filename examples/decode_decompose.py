@@ -115,6 +115,8 @@ def main(argv=None):
             batch_tile=tb, chunk=chunk, interpret=not on_tpu,
             tiled_cache=tiled, src_hbm=src_hbm,
             slot_in_kernel=slot_in_kernel,
+            # experiment knob: prefix-chunk DMA ring depth (default 2)
+            chunk_bufs=int(os.environ.get("P4FR_CHUNK_BUFS", "2")),
         )
 
         def body(carry, t):

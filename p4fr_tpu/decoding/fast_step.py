@@ -431,12 +431,19 @@ def pallas_decode_step_v2(
             new_cache.append(kv_cache)
             continue
         tb, ck, src_hbm = cfg
+        # P4FR_CHUNK_BUFS: EXPERIMENT knob — depth of the kernel's
+        # prefix-chunk DMA ring (default 2 = double buffer). Depths > 2
+        # add tb*ck*2H bytes of scoped VMEM per slot, so pair with
+        # P4FR_SCOPED_VMEM_KIB when probing beyond the shipped limit.
+        import os as _os
+
+        chunk_bufs = int(_os.environ.get("P4FR_CHUNK_BUFS", "2"))
         x, kv_cache = decoder_layer_step_v2(
             x, pos, kv_cache, ckv_arr, layer_weight_tuple(layer),
             src_scale,
             head_num=fast.head_num, cache_outputs=fast.cache_outputs,
             batch_tile=tb, chunk=ck, interpret=interpret,
-            tiled_cache=tiled, src_hbm=src_hbm,
+            tiled_cache=tiled, src_hbm=src_hbm, chunk_bufs=chunk_bufs,
         )
         new_cache.append(kv_cache)
     logits = (x @ fast.w_gen + fast.b_gen).astype(jnp.float32)

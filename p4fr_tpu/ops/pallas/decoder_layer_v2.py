@@ -21,9 +21,10 @@ Mechanics:
   python-level loop over heads exists anywhere — this is what makes the
   Mosaic MLIR small enough to compile in seconds (the round-1 version
   unrolled 8 heads x 4 chunks and took >10 min on the remote compiler);
-- chunks walk through a ``fori_loop`` with double-buffered async DMA
-  (start chunk c+1 before computing chunk c) and a dynamic trip count
-  ``cdiv(pos, chunk)`` so steps early in decode read almost nothing;
+- chunks walk through a ``fori_loop`` with ring-buffered async DMA
+  (``chunk_bufs`` slots; the default 2 starts chunk c+1 before
+  computing chunk c) and a dynamic trip count ``cdiv(pos, chunk)`` so
+  steps early in decode read almost nothing;
 - the future-slot K/V (reference parity: the layer OUTPUT's projection)
   is returned as a [B, 2H] output and scattered into the cache by ONE XLA
   dynamic_update_slice on the donated scan carry (a tiled HBM memref
@@ -85,6 +86,7 @@ def _kernel(
     slot_write: bool = False,
     src_quant: bool = False,
     cache_quant: bool = False,
+    chunk_bufs: int = 2,
 ):
     rest = list(rest)
     # [G, L, 2*TB] ANY when cache_quant: k-scales in lanes [:TB], v-scales
@@ -241,16 +243,23 @@ def _kernel(
 
     num_chunks = pl.cdiv(pos, chunk)  # strictly-before-pos prefix
 
-    @pl.when(num_chunks > 0)
-    def _():
-        start_chunk(0, 0)
+    # prologue: put the first ``chunk_bufs - 1`` prefix chunks in flight
+    # (the classic double buffer is chunk_bufs=2 — start chunk 0 only);
+    # deeper rings give the DMA engine more issue slack, the lever the
+    # int8 experiments pointed at (decode is DMA-issue-bound, not
+    # bandwidth-bound — docs/PERFORMANCE.md r4 kv-quant section)
+    for j in range(chunk_bufs - 1):
+        @pl.when(j < num_chunks)
+        def _(j=j):
+            start_chunk(j, j)
 
     def chunk_body(c, _):
-        @pl.when(c + 1 < num_chunks)
+        @pl.when(c + chunk_bufs - 1 < num_chunks)
         def _():
-            start_chunk((c + 1) % 2, c + 1)
+            start_chunk((c + chunk_bufs - 1) % chunk_bufs,
+                        c + chunk_bufs - 1)
 
-        slot = c % 2
+        slot = c % chunk_bufs
         wait_chunk(slot, c)
         m_old = m_buf[:]
         if tiled:
@@ -418,6 +427,7 @@ def scoped_vmem_estimate(
     *, batch_tile: int, chunk: int, hidden: int, s_len: int,
     filter_dim: int, itemsize: int, src_hbm: bool,
     src_quant: bool = False, cache_quant: bool = False,
+    chunk_bufs: int = 2,
 ) -> int:
     """Conservative scoped-VMEM demand (bytes) of one kernel instance.
 
@@ -433,11 +443,11 @@ def scoped_vmem_estimate(
         # [TB, 2, S] f32 scales, sublane dim 2 padded to 8
         src += tb * 8 * s_len * 4 * (1 if src_hbm else 2)
     cache_item = 1 if cache_quant else itemsize
-    chunk_buf = 2 * tb * chunk * two_h * cache_item
+    chunk_buf = chunk_bufs * tb * chunk * two_h * cache_item
     if cache_quant:
-        # [CK, 2*TB] f32 scale chunks, double-buffered; lane 2*tb padded
-        # to 128 (production tb=64 is exact)
-        chunk_buf += 2 * chunk * (((2 * tb + 127) // 128) * 128) * 4
+        # [CK, 2*TB] f32 scale chunks, one per ring slot; lane 2*tb
+        # padded to 128 (production tb=64 is exact)
+        chunk_buf += chunk_bufs * chunk * (((2 * tb + 127) // 128) * 128) * 4
     weights = itemsize * (
         hidden * 3 * hidden + 3 * hidden          # w_qkv + b
         + 3 * (hidden * hidden + hidden)          # w_out, w_q2, w_out2 + b
@@ -540,7 +550,7 @@ def pick_v2_config(
     jax.jit,
     static_argnames=("head_num", "cache_outputs", "batch_tile", "chunk",
                      "interpret", "tiled_cache", "src_hbm",
-                     "slot_in_kernel"),
+                     "slot_in_kernel", "chunk_bufs"),
 )
 def decoder_layer_step_v2(
     x: jnp.ndarray,  # [B, H]
@@ -558,8 +568,15 @@ def decoder_layer_step_v2(
     tiled_cache: bool = False,
     src_hbm: bool = False,
     slot_in_kernel: bool = False,
+    chunk_bufs: int = 2,
 ):
     """Flash-decode fused layer step -> (out [B, H], new cache).
+
+    ``chunk_bufs``: depth of the prefix-chunk DMA ring (2 = the classic
+    double buffer). Deeper rings keep more chunk DMAs in flight — each
+    extra slot costs ``tb * chunk * 2H`` of scoped VMEM, so depths > 2
+    generally need the raised per-compile limit
+    (utils/xla_opts.decode_compiler_options).
 
     ``src_hbm``: keep the cross-attention src K/V in HBM and DMA the
     batch tile into a single scratch buffer inside the kernel (started
@@ -646,15 +663,17 @@ def decoder_layer_step_v2(
         # [G, L, TB, 2H] layout slices only untiled leading dims.
         raise ValueError("slot_in_kernel requires tiled_cache=True")
     src_quant = src_scale is not None
+    if not 2 <= chunk_bufs <= 8:
+        raise ValueError(f"chunk_bufs must be in [2, 8], got {chunk_bufs}")
     kernel = functools.partial(
         _kernel, head_num=head_num, chunk=chunk,
         cache_outputs=cache_outputs, tiled=tiled_cache, src_hbm=src_hbm,
         slot_write=slot_in_kernel, src_quant=src_quant,
-        cache_quant=cache_quant,
+        cache_quant=cache_quant, chunk_bufs=chunk_bufs,
     )
     chunk_buf_shape = (
-        (2, chunk, tb, 2 * hidden) if tiled_cache
-        else (2, tb, chunk, 2 * hidden)
+        (chunk_bufs, chunk, tb, 2 * hidden) if tiled_cache
+        else (chunk_bufs, tb, chunk, 2 * hidden)
     )
     src_spec = (
         pl.BlockSpec(memory_space=pl.ANY) if src_hbm
@@ -665,12 +684,12 @@ def decoder_layer_step_v2(
         pltpu.VMEM((tb, head_num), jnp.float32),
         pltpu.VMEM((tb, head_num), jnp.float32),
         pltpu.VMEM((tb, hidden), jnp.float32),
-        pltpu.SemaphoreType.DMA((2,)),
+        pltpu.SemaphoreType.DMA((chunk_bufs,)),
     ]
     if cache_quant:
         scratch += [
-            pltpu.VMEM((2, chunk, 2 * tb), cache_scale.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((chunk_bufs, chunk, 2 * tb), cache_scale.dtype),
+            pltpu.SemaphoreType.DMA((chunk_bufs,)),
         ]
     if src_hbm:
         scratch += [

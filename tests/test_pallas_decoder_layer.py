@@ -621,3 +621,40 @@ def test_pallas_v2_int8_cache_quant_matches_snapped_jnp():
         np.testing.assert_allclose(
             np.asarray(flat), deq, rtol=5e-3, atol=5e-3
         )
+
+
+@pytest.mark.parametrize("depth", [3, 4])
+def test_pallas_v2_chunk_buf_ring_matches_fast_step(depth, monkeypatch):
+    """chunk_bufs > 2: the deeper prefix-chunk DMA ring (an
+    issue-latency experiment — docs/PERFORMANCE.md r4 kv-quant section
+    showed decode is DMA-issue-bound, not bandwidth-bound) must be
+    numerically identical to the double buffer. chunk=2 over a
+    16-slot cache so late steps put >= depth chunks in flight."""
+    monkeypatch.setenv("P4FR_CHUNK_BUFS", str(depth))
+    model = tiny_satrn()
+    images = jnp.asarray(synth_images(B))
+    text = jnp.asarray(synth_labels(B, 8))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        images, text, train=False,
+    )
+    src = model.apply(variables, images, method="encode")
+    fast = build_fast_decoder(model, variables)
+    cross = precompute_cross_kv(fast, src)
+    c1 = init_fast_cache(fast, B, 16)
+    c2 = init_fast_cache(fast, B, 16)
+    token = jnp.zeros((B,), jnp.int32)
+    for t in range(12):
+        l1, c1 = fast_decode_step(fast, token, jnp.asarray(t), cross, c1)
+        l2, c2 = pallas_decode_step_v2(
+            fast, token, jnp.asarray(t), cross, c2,
+            batch_tile=2, chunk=2, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(l1), np.asarray(l2), rtol=1e-5, atol=1e-5
+        )
+        for a, b in zip(c1, c2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+            )
+        token = jnp.argmax(l1, -1).astype(jnp.int32)
