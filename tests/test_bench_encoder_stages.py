@@ -32,9 +32,16 @@ def test_stage_bench_quick_json():
     assert proc.returncode == 0, proc.stderr[-800:]
     lines = [l for l in proc.stdout.splitlines() if l.strip()]
     result = json.loads(lines[-1])
+    # --quick must pin the CPU backend: without this the test silently
+    # depends on the flaky TPU tunnel (advisor r4)
+    assert result["backend"] == "cpu"
     assert set(result["segments"]) == set(SEGMENTS)
-    assert all(v > 0 for v in result["segments"].values())
+    # per-segment values are rounded to 2 decimals, so a sub-5us segment
+    # can legitimately print 0.0 — require non-negative per segment and
+    # strict positivity only of the (unrounded-sum-derived) total
+    assert all(v >= 0 for v in result["segments"].values())
     seg_sum = result["segment_sum_ms"]
+    assert seg_sum > 0
     full = result["full_encode_ms"]
     assert abs(seg_sum - sum(result["segments"].values())) < 0.1 * seg_sum
     # segments each pay an extra output materialization + jit dispatch;
