@@ -30,10 +30,24 @@ from p4fr_tpu.models.efficientnetv2 import EfficientNetV2Blocks, _bn
 from p4fr_tpu.ops.lstm import BiLSTM, TorchLSTMCell
 
 
+def _tail_bn(train: bool, name: str, dtype):
+    """convRelu-tail BatchNorm: the reference builds these with plain
+    ``nn.BatchNorm2d`` (EfficientASTER.py:68) -> torch defaults
+    eps=1e-5, unlike the stem/backbone BNs' explicit eps=1e-3."""
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=0.9, epsilon=1e-5,
+        dtype=dtype, name=name,
+    )
+
+
 class DeepCNN(nn.Module):
-    """EfficientNetV2-S blocks + height-collapse tail -> [B, W', 384]."""
+    """EfficientNetV2-S blocks + height-collapse tail -> [B, W', 384].
+
+    ``backbone_stages`` (default: full V2-S) swaps in a reduced stage
+    list with identical block semantics/naming."""
 
     dtype: jnp.dtype = jnp.float32
+    backbone_stages: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -42,14 +56,20 @@ class DeepCNN(nn.Module):
                     dtype=self.dtype, name="conv_stem")(x)
         x = _bn(train, "bn1", self.dtype)(x)
         x = nn.silu(x)
-        x = EfficientNetV2Blocks(dtype=self.dtype, name="blocks")(x, train)
+        blocks_kw = (
+            {} if self.backbone_stages is None
+            else {"stages": tuple(tuple(r) for r in self.backbone_stages)}
+        )
+        x = EfficientNetV2Blocks(
+            dtype=self.dtype, name="blocks", **blocks_kw
+        )(x, train)
         # pooling1: MaxPool k2 s(2,1) pad (0,1)
         x = nn.max_pool(
             x, (2, 2), strides=(2, 1), padding=((0, 0), (1, 1))
         )
         # conv1 = convRelu(i=4): k3 s1 p1, 256->384, BN+ReLU
         x = nn.Conv(384, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
-        x = _bn(train, "conv1_bn", self.dtype)(x)
+        x = _tail_bn(train, "conv1_bn", self.dtype)(x)
         x = nn.relu(x)
         # pooling2: MaxPool k2 s(2,1) pad (0,1)
         x = nn.max_pool(
@@ -58,7 +78,7 @@ class DeepCNN(nn.Module):
         # conv3 = convRelu(i=6): k2 s1 p0, 384->384, BN+ReLU -> height 1
         x = nn.Conv(384, (2, 2), padding="VALID", dtype=self.dtype,
                     name="conv3")(x)
-        x = _bn(train, "conv3_bn", self.dtype)(x)
+        x = _tail_bn(train, "conv3_bn", self.dtype)(x)
         x = nn.relu(x)
         # [B, H'=1, W', C] -> [B, W', C*H']  (reference view(b, c*h, w))
         b, h, w, c = x.shape
@@ -68,10 +88,12 @@ class DeepCNN(nn.Module):
 class ASTEREncoder(nn.Module):
     hidden_dim: int
     dtype: jnp.dtype = jnp.float32
+    backbone_stages: Any = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        x = DeepCNN(dtype=self.dtype, name="cnn")(images, train)
+        x = DeepCNN(dtype=self.dtype, name="cnn",
+                    backbone_stages=self.backbone_stages)(images, train)
         x = BiLSTM(self.hidden_dim, num_layers=2, dtype=self.dtype,
                    name="blstm")(x)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj")(x)
@@ -139,9 +161,11 @@ class ASTER(nn.Module):
     layer_num: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    backbone_stages: Any = None
 
     def setup(self):
-        self.encoder = ASTEREncoder(self.hidden_dim, dtype=self.dtype)
+        self.encoder = ASTEREncoder(self.hidden_dim, dtype=self.dtype,
+                                    backbone_stages=self.backbone_stages)
         # Reference quirk: embedding table has num_classes + 1 rows.
         self.embedding = nn.Embed(
             self.num_classes + 1, self.embedding_dim, dtype=self.dtype
@@ -208,6 +232,9 @@ class ASTER(nn.Module):
 
 
 def aster_from_options(options, num_classes, pad_id, sos_id, dtype=jnp.float32):
+    stages = getattr(options.ASTER, "backbone_stages", None)
+    if stages is not None:
+        stages = tuple(tuple(r) for r in stages)
     return ASTER(
         num_classes=num_classes,
         pad_id=pad_id,
@@ -218,4 +245,5 @@ def aster_from_options(options, num_classes, pad_id, sos_id, dtype=jnp.float32):
         layer_num=options.ASTER.layer_num,
         dropout=options.dropout_rate,
         dtype=dtype,
+        backbone_stages=stages,
     )

@@ -175,15 +175,24 @@ class MBConv(nn.Module):
 
 class EfficientNetV2Blocks(nn.Module):
     """The six V2-S stages (timm ``m.blocks`` equivalent): 24ch in, 256ch
-    out, stride /16 relative to the blocks' input."""
+    out, stride /16 relative to the blocks' input.
+
+    ``stages`` keeps the V2-S default but is configurable (same row
+    schema as ``V2_S_STAGES``) so reduced-scale backbones can be built
+    with identical block/naming semantics — the converter's
+    ``blocks.{s}.{b}`` rules are index-generic, so any stage list
+    round-trips with a same-shaped torch module tree."""
 
     dtype: jnp.dtype = jnp.float32
+    stages: Tuple[Tuple[int, int, int, int, int, int, bool, bool], ...] = (
+        V2_S_STAGES
+    )
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for stage_idx, (
             repeats, kernel, stride, expand, _in, out, use_se, fused
-        ) in enumerate(V2_S_STAGES):
+        ) in enumerate(self.stages):
             for block_idx in range(repeats):
                 name = f"stage{stage_idx}_block{block_idx}"
                 s = stride if block_idx == 0 else 1

@@ -203,6 +203,9 @@ def aster_rules() -> List[Rule]:
     rules += _conv_rules(rf"{cnn}\.conv_stem", rf"{f}/conv_stem")
     rules += _norm_rules(rf"{cnn}\.bn1", rf"{f}/bn1")
     rules += _efficientnet_rules(rf"{cnn}\.eff_blocks", rf"{f}/blocks")
+    # DeepCNN defines a conv2 stage its forward never calls
+    # (EfficientASTER.py:35 vs :39-48) — dead weights, dropped
+    rules += [(rf"{cnn}\.conv2\..*$", "", _identity, "drop")]
     # convRelu stages: conv1 holds conv4/batchnorm4, conv3 holds conv6/batchnorm6
     rules += _conv_rules(rf"{cnn}\.conv1\.conv4", rf"{f}/conv1")
     rules += _norm_rules(rf"{cnn}\.conv1\.batchnorm4", rf"{f}/conv1_bn")
