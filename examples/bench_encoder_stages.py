@@ -47,6 +47,8 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--repeat", type=int, default=9,
+                   help="K for the per-segment (t_K - t_1)/(K-1) slope")
     p.add_argument("--quick", action="store_true",
                    help="CPU sanity: tiny batch/input")
     args = p.parse_args(argv)
@@ -57,7 +59,7 @@ def main(argv=None):
 
     if args.quick:
         jax.config.update("jax_platforms", "cpu")
-        args.batch, args.iters = 2, 2
+        args.batch, args.iters, args.repeat = 2, 2, 2
     else:
         try:
             jax.config.update(
@@ -129,26 +131,52 @@ def main(argv=None):
             return x.reshape(b, h * w, c)
 
     def timeit(name, module, in_shape):
+        """Per-apply device time via a two-point slope: run the segment
+        k=1 and k=K times INSIDE one jit (serialized by a 0*sum(y) data
+        dependency XLA's float algsimp cannot fold away) and report
+        (t_K - t_1)/(K - 1). A single-apply measurement through the axon
+        tunnel is dominated by ~25 ms of fixed per-dispatch RPC cost
+        (measured r5: nine segments 'sum' to 241 ms vs 56.5 ms fused);
+        the slope differences that out exactly."""
         x = jnp.asarray(
             rng.normal(size=(B,) + in_shape).astype(np.float32), dtype
         )
         variables = module.init(jax.random.PRNGKey(0), x)
 
-        @jax.jit
-        def f(v, x):
-            return jnp.sum(module.apply(v, x).astype(jnp.float32))
+        def make(k):
+            @jax.jit
+            def f(v, x):
+                s = jnp.float32(0)
+                xi = x
+                for _ in range(k):
+                    y = module.apply(v, xi)
+                    s = s + jnp.sum(y.astype(jnp.float32))
+                    # serialize the next apply on s without changing
+                    # shape; float mul-by-zero is not simplified away
+                    xi = (x.astype(jnp.float32) * (1.0 + 0.0 * s)).astype(
+                        x.dtype
+                    )
+                return s
+            return f
 
-        np.asarray(f(variables, x))  # compile + warm
-        t0 = time.perf_counter()
-        outs = [f(variables, x) for _ in range(args.iters)]
-        for o in outs:
-            np.asarray(o)
-        dt = (time.perf_counter() - t0) / args.iters
+        K = args.repeat
+        times = {}
+        for k in (1, K):
+            f = make(k)
+            np.asarray(f(variables, x))  # compile + warm
+            t0 = time.perf_counter()
+            outs = [f(variables, x) for _ in range(args.iters)]
+            for o in outs:
+                np.asarray(o)
+            times[k] = (time.perf_counter() - t0) / args.iters
+        dt = max((times[K] - times[1]) / (K - 1), 0.0)
         out_shape = jax.eval_shape(
             lambda v, x: module.apply(v, x), variables, x
         ).shape
         print(f"{name:16s} in {str((B,) + in_shape):22s} "
-              f"-> {str(out_shape):22s} {dt*1e3:9.2f} ms", flush=True)
+              f"-> {str(out_shape):22s} {dt*1e3:9.2f} ms "
+              f"(1x {times[1]*1e3:.2f} | {K}x {times[K]*1e3:.2f})",
+              flush=True)
         return dt
 
     # real intermediate shapes at the flagship input (VALID stem -> odd
@@ -199,18 +227,31 @@ def main(argv=None):
         images[:1], text, train=False,
     )
 
-    @jax.jit
-    def full(v, im):
-        return jnp.sum(
-            model.apply(v, im, method="encode").astype(jnp.float32)
-        )
+    def make_full(k):
+        @jax.jit
+        def full(v, im):
+            s = jnp.float32(0)
+            xi = im
+            for _ in range(k):
+                y = model.apply(v, xi, method="encode")
+                s = s + jnp.sum(y.astype(jnp.float32))
+                xi = (im.astype(jnp.float32) * (1.0 + 0.0 * s)).astype(
+                    im.dtype
+                )
+            return s
+        return full
 
-    np.asarray(full(variables, images))
-    t0 = time.perf_counter()
-    outs = [full(variables, images) for _ in range(args.iters)]
-    for o in outs:
-        np.asarray(o)
-    full_dt = (time.perf_counter() - t0) / args.iters
+    K = max(2, args.repeat // 2)  # the full program is the big compile
+    fdt = {}
+    for k in (1, K):
+        full = make_full(k)
+        np.asarray(full(variables, images))
+        t0 = time.perf_counter()
+        outs = [full(variables, images) for _ in range(args.iters)]
+        for o in outs:
+            np.asarray(o)
+        fdt[k] = (time.perf_counter() - t0) / args.iters
+    full_dt = max((fdt[K] - fdt[1]) / (K - 1), 0.0)
     seg_sum = sum(results.values())
     print(f"{'segment sum':16s} {'':47s} {seg_sum*1e3:9.2f} ms")
     print(f"{'full encode':16s} {'':47s} {full_dt*1e3:9.2f} ms")

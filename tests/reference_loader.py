@@ -46,6 +46,9 @@ def load_reference():
 
     if "timm" not in sys.modules:
         timm_stub = types.ModuleType("timm")
+        # transformers probes importlib.util.find_spec("timm") at import
+        # time, which raises ValueError on a stub whose __spec__ is None
+        timm_stub.__spec__ = importlib.machinery.ModuleSpec("timm", None)
 
         def _no_network(*a, **k):
             raise RuntimeError("timm stub: no pretrained downloads in tests")
@@ -225,6 +228,7 @@ def load_reference_trainer():
 
     if "torchvision" not in sys.modules:
         tv = types.ModuleType("torchvision")
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
         tv.transforms = types.ModuleType("torchvision.transforms")
         sys.modules["torchvision"] = tv
         sys.modules["torchvision.transforms"] = tv.transforms
@@ -252,6 +256,42 @@ def load_reference_trainer():
     )
     out = types.SimpleNamespace(trainer=trainer, **vars(full))
     _CACHE["trainer"] = out
+    return out
+
+
+def load_reference_trainer_dual():
+    """Additionally import the REAL ``train_modules/train_dual_opt.py``
+    (two optimizers, per-group clipping at :101-106, transformers'
+    constant-schedule-with-warmup decoder schedule at :357-359).
+    transformers is installed, so the real schedule function is used."""
+    if "trainer_dual" in _CACHE:
+        return _CACHE["trainer_dual"]
+    base = load_reference_trainer()  # sets up data/schedulers/wandb stubs
+    dual = _load_by_path(
+        "_ref_train_dual_opt", REF / "train_modules" / "train_dual_opt.py"
+    )
+    out = types.SimpleNamespace(trainer_dual=dual, **vars(base))
+    _CACHE["trainer_dual"] = out
+    return out
+
+
+def load_reference_trainer_distill():
+    """Additionally import the REAL ``train_modules/train_distillation.py``
+    (teacher un-TF'd no_grad forward + loss_fn_kd, :49-55,107-128).
+    psutil/torchvision are available/stubbed; the ``data`` package stub
+    grows the ``get_distillation_dataloaders`` name the import touches."""
+    if "trainer_distill" in _CACHE:
+        return _CACHE["trainer_distill"]
+    base = load_reference_trainer()
+    data_pkg = sys.modules["data"]
+    if not hasattr(data_pkg, "get_distillation_dataloaders"):
+        data_pkg.get_distillation_dataloaders = None  # imported, unused
+    distill = _load_by_path(
+        "_ref_train_distillation",
+        REF / "train_modules" / "train_distillation.py",
+    )
+    out = types.SimpleNamespace(trainer_distill=distill, **vars(base))
+    _CACHE["trainer_distill"] = out
     return out
 
 
