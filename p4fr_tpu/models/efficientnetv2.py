@@ -21,7 +21,7 @@ weights. All activations are SiLU. NHWC throughout.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -136,8 +136,23 @@ class FusedMBConv(nn.Module):
         return x
 
 
+def _fused_mbconv_mode() -> str:
+    """P4FR_FUSED_MBCONV: "auto" (default — fused on TPU inference),
+    "1" (force, interpret off-TPU; for parity tests), "0" (off)."""
+    import os
+
+    return os.environ.get("P4FR_FUSED_MBCONV", "auto")
+
+
 class MBConv(nn.Module):
-    """Inverted residual with depthwise conv and SE."""
+    """Inverted residual with depthwise conv and SE.
+
+    Inference on TPU takes the fused single-launch Pallas block
+    (ops/pallas/mbconv.py — whole-block VMEM residency, BNs folded;
+    measured HBM-bound composed: stage4 alone is 16.6 ms of the B=256
+    flagship encode) for stride-1 3x3 blocks; training, init, stride-2
+    heads, and CPU keep the composed path below.
+    """
 
     out_chs: int
     kernel: int = 3
@@ -146,8 +161,32 @@ class MBConv(nn.Module):
     se_ratio: float = 0.25
     dtype: jnp.dtype = jnp.float32
 
+    def _fused_ok(self, train: bool) -> bool:
+        if train or self.is_initializing():
+            return False
+        if self.stride != 1 or self.kernel != 3:
+            return False
+        mode = _fused_mbconv_mode()
+        if mode == "1":
+            return True
+        return mode == "auto" and jax.default_backend() == "tpu"
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self._fused_ok(train):
+            from p4fr_tpu.ops.pallas.mbconv import (
+                fold_mbconv_params, fused_mbconv,
+            )
+
+            variables = self.variables
+            folded = fold_mbconv_params(
+                variables["params"], variables["batch_stats"], x.dtype
+            )
+            return fused_mbconv(
+                x, folded, x.shape[1], x.shape[2],
+                residual=x.shape[-1] == self.out_chs,
+                interpret=jax.default_backend() != "tpu",
+            )
         in_chs = x.shape[-1]
         shortcut = x
         mid = in_chs * self.expand_ratio
@@ -213,10 +252,13 @@ class EfficientNetV2Blocks(nn.Module):
 
 class EfficientNetV2Backbone(nn.Module):
     """Reference 'EfficientNet' wrapper: custom stem + V2-S blocks + 1x1
-    projection to ``output_channel`` (EfficientSATRN.py:63-87). /32 total."""
+    projection to ``output_channel`` (EfficientSATRN.py:63-87). /32 total
+    with the default stages; ``stages`` swaps in a reduced list (same row
+    schema as ``V2_S_STAGES``)."""
 
     output_channel: int
     dtype: jnp.dtype = jnp.float32
+    stages: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -228,7 +270,13 @@ class EfficientNetV2Backbone(nn.Module):
         )(x)
         x = _bn(train, "bn1", self.dtype)(x)
         x = nn.silu(x)
-        x = EfficientNetV2Blocks(dtype=self.dtype, name="blocks")(x, train)
+        blocks_kw = (
+            {} if self.stages is None
+            else {"stages": tuple(tuple(r) for r in self.stages)}
+        )
+        x = EfficientNetV2Blocks(
+            dtype=self.dtype, name="blocks", **blocks_kw
+        )(x, train)
         x = nn.Conv(
             self.output_channel, (1, 1), use_bias=False, dtype=self.dtype,
             name="conv_last",

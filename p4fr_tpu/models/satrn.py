@@ -22,7 +22,7 @@ Reference-parity quirks (kept, toggleable):
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -159,6 +159,7 @@ class SATRNEncoder(nn.Module):
     dtype: jnp.dtype = jnp.float32
     backbone: str = "shallow"  # 'shallow' (/16) | 'efficientnetv2s' (/32)
     scrambled_ff: bool = True
+    backbone_stages: Any = None  # reduced V2 stage list (schema of V2_S_STAGES)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -171,9 +172,14 @@ class SATRNEncoder(nn.Module):
             from p4fr_tpu.models.efficientnetv2 import EfficientNetV2Backbone
 
             x = EfficientNetV2Backbone(
-                output_channel=self.hidden_dim, dtype=self.dtype, name="efficientnet"
+                output_channel=self.hidden_dim, dtype=self.dtype,
+                name="efficientnet", stages=self.backbone_stages,
             )(images, train)
             stride = 32
+            if self.backbone_stages is not None:
+                stride = 2  # stem
+                for row in self.backbone_stages:
+                    stride *= row[2]
         else:
             raise ValueError(f"unknown backbone: {self.backbone}")
 
@@ -235,6 +241,7 @@ class SATRN(nn.Module):
     dtype: jnp.dtype = jnp.float32
     backbone: str = "shallow"
     reference_parity: bool = True
+    backbone_stages: Any = None
 
     def setup(self):
         self.encoder = SATRNEncoder(
@@ -248,6 +255,7 @@ class SATRN(nn.Module):
             dtype=self.dtype,
             backbone=self.backbone,
             scrambled_ff=self.reference_parity,
+            backbone_stages=self.backbone_stages,
         )
         self.decoder = TransformerDecoder(
             num_classes=self.num_classes,
@@ -321,4 +329,9 @@ def satrn_from_options(options, num_classes: int, pad_id: int, sos_id: int,
         dtype=dtype,
         backbone=backbone,
         reference_parity=parity,
+        backbone_stages=(
+            tuple(tuple(r) for r in stages) if (stages := getattr(
+                options.SATRN.encoder, "backbone_stages", None
+            )) is not None else None
+        ),
     )
