@@ -227,14 +227,61 @@ class EfficientNetV2Blocks(nn.Module):
         V2_S_STAGES
     )
 
+    def _chain_ok(self, train: bool) -> bool:
+        """Whether eligible MBConv runs take the CHAINED fused kernel
+        (one pallas_call per group, boundary activations VMEM-resident;
+        ops/pallas/mbconv.fused_mbconv_chain)."""
+        if train or self.is_initializing():
+            return False
+        mode = _fused_mbconv_mode()
+        if mode == "1":
+            return True
+        return mode == "auto" and jax.default_backend() == "tpu"
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        chain_ok = self._chain_ok(train)
+        run: list = []  # pending (name, residual) eligible MBConv blocks
+
+        def flush(x):
+            if not run:
+                return x
+            from p4fr_tpu.ops.pallas.mbconv import (
+                fold_mbconv_params, fused_mbconv_chain,
+            )
+
+            variables = self.variables
+            folded = [
+                fold_mbconv_params(
+                    variables["params"][name],
+                    variables["batch_stats"][name], x.dtype,
+                )
+                for name, _ in run
+            ]
+            x = fused_mbconv_chain(
+                x, folded, [r for _, r in run], x.shape[1], x.shape[2],
+                interpret=jax.default_backend() != "tpu",
+            )
+            run.clear()
+            return x
+
         for stage_idx, (
             repeats, kernel, stride, expand, _in, out, use_se, fused
         ) in enumerate(self.stages):
             for block_idx in range(repeats):
                 name = f"stage{stage_idx}_block{block_idx}"
                 s = stride if block_idx == 0 else 1
+                if not fused and chain_ok and s == 1 and kernel == 3:
+                    # defer: consecutive eligible MBConv blocks chain
+                    # into one launch at the next flush (a stride-2
+                    # head, a FusedMBConv, or the end of the stack).
+                    # The residual flag uses the block's INPUT channels
+                    # = the previous pending block's out (or x's).
+                    in_chs = pending_chs if run else x.shape[-1]
+                    run.append((name, in_chs == out))
+                    pending_chs = out
+                    continue
+                x = flush(x)
                 if fused:
                     x = FusedMBConv(
                         out_chs=out, kernel=kernel, stride=s,
@@ -247,7 +294,7 @@ class EfficientNetV2Blocks(nn.Module):
                         se_ratio=0.25 if use_se else 0.0,
                         dtype=self.dtype, name=name,
                     )(x, train)
-        return x
+        return flush(x)
 
 
 class EfficientNetV2Backbone(nn.Module):

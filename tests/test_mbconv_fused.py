@@ -56,6 +56,68 @@ def test_fused_matches_composed(monkeypatch, in_chs, out_chs, expand,
     )
 
 
+def test_chained_blocks_match_composed(monkeypatch):
+    """A stage of consecutive stride-1 MBConv blocks goes through
+    fused_mbconv_chain (one launch, boundary activations VMEM-resident)
+    at the EfficientNetV2Blocks level; parity vs the composed stack,
+    including a mid-stack channel change (no-residual link)."""
+    from p4fr_tpu.models.efficientnetv2 import EfficientNetV2Blocks
+
+    stages = (
+        (1, 3, 1, 4, 16, 24, True, False),   # 16 -> 24, stride 1, SE
+        (3, 3, 1, 4, 24, 24, True, False),   # 24 x3 residual chain
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(4, 8, 16, 16)).astype(np.float32))
+    m = EfficientNetV2Blocks(dtype=jnp.float32, stages=stages)
+    variables = m.init(jax.random.PRNGKey(0), x, True)
+    variables = dict(variables)
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda a: a + jnp.asarray(
+            rng.uniform(0.05, 0.5, a.shape).astype(np.float32)
+        ),
+        variables["batch_stats"],
+    )
+    monkeypatch.setenv("P4FR_FUSED_MBCONV", "0")
+    composed = m.apply(variables, x, False)
+    monkeypatch.setenv("P4FR_FUSED_MBCONV", "1")
+    fused = m.apply(variables, x, False)
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(composed), rtol=2e-5, atol=2e-5,
+        err_msg="chained fused blocks diverged from the composed stack",
+    )
+
+
+def test_chain_planner_groups_by_budget():
+    """plan_chain splits a long run when the group's weights would not
+    fit beside the working set, and never splits when they do."""
+    from p4fr_tpu.ops.pallas.mbconv import plan_chain
+
+    def fake_folded(cin, cmid, cout):
+        z = {
+            "pw_w": np.zeros((cin, cmid), np.float16),
+            "pw_s": np.zeros(cmid, np.float32),
+            "pw_b": np.zeros(cmid, np.float32),
+            "dw_w": np.zeros((9, cmid), np.float32),
+            "dw_s": np.zeros(cmid, np.float32),
+            "dw_b": np.zeros(cmid, np.float32),
+            "pwl_w": np.zeros((cmid, cout), np.float16),
+            "pwl_s": np.zeros(cout, np.float32),
+            "pwl_b": np.zeros(cout, np.float32),
+        }
+        return {k: jnp.asarray(v) for k, v in z.items()}
+
+    small = [fake_folded(32, 128, 32)] * 4
+    nb, groups = plan_chain(8, 128, 8, small)
+    assert groups == [[0, 1, 2, 3]]
+    # stage5-like: 14 blocks of [256,1536] weights (~4.7 MB each) must
+    # split into multiple groups
+    big = [fake_folded(256, 1536, 256)] * 14
+    nb, groups = plan_chain(8, 128, 8, big)
+    assert len(groups) > 1
+    assert [i for g in groups for i in g] == list(range(14))
+
+
 def test_fused_is_inference_only(monkeypatch):
     """train=True must stay on the composed path (BN batch stats update)
     even when the env forces fused."""
