@@ -262,6 +262,14 @@ class SwinEncoder(nn.Module):
     num_heads: Sequence[int] = (4, 8, 16, 32)
     window: int = 12
     drop_path_rate: float = 0.1
+    # the reference SWIN builds its SwinTransformer with ape=True
+    # (networks/SWIN.py:1028-1034): a LEARNED absolute position embedding
+    # added after the patch norm. The hub checkpoint carries no such key
+    # (strict=False load leaves it trunc-normal-initialized), so it is
+    # train-time-learned state a converted checkpoint must preserve —
+    # dropping it (the pre-r5 behavior) silently corrupts trained SWIN
+    # imports.
+    ape: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -275,6 +283,13 @@ class SwinEncoder(nn.Module):
         b, h, ww, c = x.shape
         x = x.reshape(b, h * ww, c)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+        if self.ape:
+            pe = self.param(
+                "absolute_pos_embed",
+                nn.initializers.truncated_normal(stddev=0.02),
+                (1, h * ww, self.embed_dim), jnp.float32,
+            )
+            x = x + pe.astype(self.dtype)
 
         total_blocks = sum(self.depths)
         dpr = np.linspace(0, self.drop_path_rate, total_blocks)
@@ -333,6 +348,7 @@ class SwinTRN(nn.Module):
     enc_num_heads: Sequence[int] = (4, 8, 16, 32)
     enc_window: int = 12
     enc_drop_path_rate: float = 0.1
+    enc_ape: bool = True
 
     def setup(self):
         self.encoder = SwinEncoder(
@@ -342,6 +358,7 @@ class SwinTRN(nn.Module):
             num_heads=tuple(self.enc_num_heads),
             window=self.enc_window,
             drop_path_rate=self.enc_drop_path_rate,
+            ape=self.enc_ape,
             dtype=self.dtype,
         )
         self.decoder = TransformerDecoder(
@@ -399,6 +416,7 @@ def swin_from_options(options, num_classes, pad_id, sos_id, dtype=jnp.float32):
             ("embed_dim", "enc_embed_dim"), ("depths", "enc_depths"),
             ("num_heads", "enc_num_heads"), ("window", "enc_window"),
             ("drop_path_rate", "enc_drop_path_rate"),
+            ("ape", "enc_ape"),
         ):
             val = swin_cfg.get(yaml_key)
             if val is not None:

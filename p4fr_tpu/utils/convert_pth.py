@@ -105,8 +105,16 @@ def _mha_rules(torch_prefix: str, flax_prefix: str) -> List[Rule]:
     return rules
 
 
-def _transformer_decoder_rules() -> List[Rule]:
-    """decoder.* of the SATRN/SWIN families -> models.common naming."""
+def _transformer_decoder_rules(ff_naming: str = "linear") -> List[Rule]:
+    """decoder.* of the SATRN/SWIN families -> models.common naming.
+
+    ``ff_naming``: the LiteSATRN/EfficientSATRN Feedforward names its
+    Linears ``linear0``/``linear1`` (LiteSATRN.py:307-315); SWIN.py's
+    Feedforward is an ``nn.Sequential`` whose Linears sit at indices 0
+    and 3 (``feedforward_layer.layers.{0,3}``, SWIN.py:827-841) — pass
+    "sequential" for that family (caught by the r5 trained-SWIN parity
+    test; the old linear-only rules left SWIN decoder FF weights
+    unconverted)."""
     p = r"decoder\.attention_layers\.(\d+)"
     f = r"decoder/layer\1"
     rules: List[Rule] = [
@@ -117,12 +125,20 @@ def _transformer_decoder_rules() -> List[Rule]:
     rules += _ln_rules(rf"{p}\.self_attention_norm", rf"{f}/self_attention_norm")
     rules += _mha_rules(rf"{p}\.attention_layer", rf"{f}/cross_attention")
     rules += _ln_rules(rf"{p}\.attention_norm", rf"{f}/cross_attention_norm")
-    rules += _linear_rules(
-        rf"{p}\.feedforward_layer\.linear0", rf"{f}/feedforward/linear0"
-    )
-    rules += _linear_rules(
-        rf"{p}\.feedforward_layer\.linear1", rf"{f}/feedforward/linear1"
-    )
+    if ff_naming == "sequential":
+        rules += _linear_rules(
+            rf"{p}\.feedforward_layer\.layers\.0", rf"{f}/feedforward/linear0"
+        )
+        rules += _linear_rules(
+            rf"{p}\.feedforward_layer\.layers\.3", rf"{f}/feedforward/linear1"
+        )
+    else:
+        rules += _linear_rules(
+            rf"{p}\.feedforward_layer\.linear0", rf"{f}/feedforward/linear0"
+        )
+        rules += _linear_rules(
+            rf"{p}\.feedforward_layer\.linear1", rf"{f}/feedforward/linear1"
+        )
     rules += _ln_rules(rf"{p}\.feedforward_norm", rf"{f}/feedforward_norm")
     rules += _linear_rules(r"decoder\.generator", "decoder/generator")
     return rules
@@ -251,6 +267,14 @@ def swin_rules() -> List[Rule]:
     rules: List[Rule] = []
     rules += _conv_rules(r"encoder\.patch_embed\.proj", "encoder/patch_embed")
     rules += _ln_rules(r"encoder\.patch_embed\.norm", "encoder/patch_norm")
+    # the reference SWIN runs its encoder with ape=True (SWIN.py:1028):
+    # the learned absolute position embedding is trained state and MUST
+    # convert (the hub-backbone rules still drop the key — that file
+    # never carries a trained one)
+    rules += [
+        (r"encoder\.absolute_pos_embed$", "encoder/absolute_pos_embed",
+         _identity, "params"),
+    ]
     blk = r"encoder\.layers\.(\d+)\.blocks\.(\d+)"
     fb = r"encoder/stage\1_block\2"
     rules += _ln_rules(rf"{blk}\.norm1", rf"{fb}/norm1")
@@ -280,7 +304,7 @@ def swin_rules() -> List[Rule]:
         (r"encoder\.head\..*$", "", _identity, "drop"),
         (r"encoder\.avgpool.*$", "", _identity, "drop"),
     ]
-    rules += _transformer_decoder_rules()
+    rules += _transformer_decoder_rules(ff_naming="sequential")
     return rules
 
 

@@ -106,7 +106,7 @@ def _inverse_efficientnet(inv: Inverse, troot: str, froot: str):
                 inv.bn(f"{t}.bn3", f"{f}/bn3")
 
 
-def _inverse_transformer_decoder(inv: Inverse, params):
+def _inverse_transformer_decoder(inv: Inverse, params, ff_naming="linear"):
     inv.raw("decoder.embedding.weight", "decoder/embedding/embedding")
     layers = sorted(
         {p.split("/")[1] for p in inv.p if p.startswith("decoder/layer")}
@@ -122,8 +122,16 @@ def _inverse_transformer_decoder(inv: Inverse, params):
                        f"{f}/cross_attention/{lin}")
         inv.ln(f"{t}.self_attention_norm", f"{f}/self_attention_norm")
         inv.ln(f"{t}.attention_norm", f"{f}/cross_attention_norm")
-        inv.linear(f"{t}.feedforward_layer.linear0", f"{f}/feedforward/linear0")
-        inv.linear(f"{t}.feedforward_layer.linear1", f"{f}/feedforward/linear1")
+        if ff_naming == "sequential":  # SWIN.py:827-841 Sequential FF
+            inv.linear(f"{t}.feedforward_layer.layers.0",
+                       f"{f}/feedforward/linear0")
+            inv.linear(f"{t}.feedforward_layer.layers.3",
+                       f"{f}/feedforward/linear1")
+        else:
+            inv.linear(f"{t}.feedforward_layer.linear0",
+                       f"{f}/feedforward/linear0")
+            inv.linear(f"{t}.feedforward_layer.linear1",
+                       f"{f}/feedforward/linear1")
         inv.ln(f"{t}.feedforward_norm", f"{f}/feedforward_norm")
     inv.linear("decoder.generator", "decoder/generator")
 
@@ -263,6 +271,8 @@ def test_swin_roundtrip():
 
     inv.conv("encoder.patch_embed.proj", "encoder/patch_embed")
     inv.ln("encoder.patch_embed.norm", "encoder/patch_norm")
+    # the reference SWIN runs ape=True (SWIN.py:1028): learned state
+    inv.raw("encoder.absolute_pos_embed", "encoder/absolute_pos_embed")
     for stage, depth in enumerate((1, 1)):
         for blk in range(depth):
             t = f"encoder.layers.{stage}.blocks.{blk}"
@@ -282,5 +292,5 @@ def test_swin_roundtrip():
         inv.p["encoder/stage0_merge/reduction/kernel"].T
     )
     inv.ln("encoder.norm", "encoder/norm")
-    _inverse_transformer_decoder(inv, params)
+    _inverse_transformer_decoder(inv, params, ff_naming="sequential")
     _assert_roundtrip("SWIN", inv.sd, params, stats)

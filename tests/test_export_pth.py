@@ -129,6 +129,7 @@ def test_swin_roundtrip_and_real_load():
     tenc = ref.swin.SwinTransformer(
         img_size=48, patch_size=4, in_chans=3, num_classes=5,
         embed_dim=16, depths=[2, 2], num_heads=[2, 4], window_size=3,
+        ape=True,  # the reference SWIN's configuration (SWIN.py:1028)
     )
     enc_sd = {
         k[len("encoder."):]: torch.tensor(v)

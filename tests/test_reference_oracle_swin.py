@@ -33,7 +33,12 @@ def ref():
     return load_reference_full()
 
 
-def test_swin_encoder_features_match_real_reference(ref):
+@pytest.mark.parametrize("ape", [False, True])
+def test_swin_encoder_features_match_real_reference(ref, ape):
+    """ape=True is the configuration the reference SWIN actually runs
+    (SWIN.py:1028-1034 builds its SwinTransformer with ape=True): the
+    learned absolute position embedding must convert and be applied at
+    the same point (after the patch norm)."""
     import jax.numpy as jnp
     import torch
 
@@ -41,7 +46,7 @@ def test_swin_encoder_features_match_real_reference(ref):
     tmodel = ref.swin.SwinTransformer(
         img_size=IMG, patch_size=PATCH, in_chans=3, num_classes=5,
         embed_dim=EMBED, depths=list(DEPTHS), num_heads=list(HEADS),
-        window_size=WINDOW, drop_path_rate=0.1,
+        window_size=WINDOW, drop_path_rate=0.1, ape=ape,
     )
     tmodel.eval()
 
@@ -53,7 +58,7 @@ def test_swin_encoder_features_match_real_reference(ref):
 
     enc = SwinEncoder(
         img_size=IMG, patch_size=PATCH, embed_dim=EMBED,
-        depths=DEPTHS, num_heads=HEADS, window=WINDOW,
+        depths=DEPTHS, num_heads=HEADS, window=WINDOW, ape=ape,
         dtype=jnp.float32,
     )
 
