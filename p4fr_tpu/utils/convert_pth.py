@@ -655,6 +655,18 @@ def bootstrap_pretrained(variables, network: str, pretrained_cfg) -> Dict:
         )
     if key == "swin":
         params, stats, _ = convert_swin_hub(src)
+        # the hub file carries no absolute_pos_embed; the reference's
+        # strict=False load (SWIN.py:1033) keeps the model's own
+        # trunc-normal init for it — mirror that by carrying the
+        # current value through the graft
+        node = variables.get("params", {})
+        for p in path:
+            node = node.get(p, {})
+        if "absolute_pos_embed" in node and (
+            "absolute_pos_embed" not in params
+        ):
+            params = dict(params)
+            params["absolute_pos_embed"] = node["absolute_pos_embed"]
     else:
         params, stats, _ = convert_timm_efficientnetv2(src)
     return graft_backbone(dict(variables), params, stats, path)

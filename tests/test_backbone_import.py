@@ -422,8 +422,12 @@ def test_swin_hub_import_forward_parity():
     with torch.no_grad():
         want = mirror(torch.tensor(x)).numpy()
 
+    # ape=False: the hub file carries no absolute_pos_embed — in the
+    # production bootstrap the (ape=True) model keeps its own init for
+    # that param, exactly like the reference's strict=False hub load
     enc = SwinEncoder(img_size=32, patch_size=4, embed_dim=8, depths=(2, 2),
-                      num_heads=(2, 4), window=2, drop_path_rate=0.0)
+                      num_heads=(2, 4), window=2, drop_path_rate=0.0,
+                      ape=False)
     got = np.asarray(
         enc.apply({"params": params},
                   jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
@@ -453,6 +457,13 @@ def test_swin_hub_import_grafts_into_swintrn():
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         images, text, train=False,
+    )
+    # the hub file has no absolute_pos_embed; bootstrap_pretrained
+    # carries the model's own init through the graft (the reference's
+    # strict=False hub-load semantics) — mirror that here
+    params = dict(params)
+    params["absolute_pos_embed"] = (
+        variables["params"]["encoder"]["absolute_pos_embed"]
     )
     grafted = graft_backbone(dict(variables), params, {}, ("encoder",))
     logits = model.apply(grafted, images, text, train=False)
